@@ -1,0 +1,62 @@
+"""artensor_tpu — TPU-native tensor-network contraction for quantum circuits.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+Fanerst/artensor: a host-side combinatorial planner (greedy + simulated
+annealing with dynamic bond slicing) emits static contraction plans that JIT
+into sequences of MXU contraction steps; circuits (Google qsim format,
+Sycamore gate set) run in full-amplitude or sparse-state big-batch mode, and
+sliced sub-tasks shard across a TPU mesh via ``shard_map``/``psum``.
+
+Layering:
+  planner/   pure-Python/numpy order optimization (never imports jax)
+  circuits/  circuit front ends and gate library (numpy)
+  network    tensor-network topology + host payloads
+  ops/       TPU contraction primitives (XLA einsum + Pallas kernels)
+  runtime/   plan -> static scheme -> jitted executors
+  parallel/  device mesh, slice/batch sharding
+  simulation orchestration API (plan -> compile -> execute)
+"""
+
+from .network import AbstractTensorNetwork, NumericalTensorNetwork
+from .planner import (
+    ContractionTree,
+    GreedyOrderFinder,
+    find_order,
+    simulate_annealing,
+)
+from .utils import log2sumexp2, log10sumexp2
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AbstractTensorNetwork",
+    "NumericalTensorNetwork",
+    "ContractionTree",
+    "GreedyOrderFinder",
+    "find_order",
+    "simulate_annealing",
+    "log2sumexp2",
+    "log10sumexp2",
+]
+
+
+def __getattr__(name):
+    """Lazy exports that pull in jax only when actually used."""
+    if name in ("TensorNetworkCircuit", "load_qsim"):
+        from .circuits import qsim
+        return getattr(qsim, name)
+    if name in (
+        "contraction_scheme", "contraction_scheme_sparse",
+        "tensor_contraction", "tensor_contraction_sparse",
+    ):
+        from .runtime import scheme as _scheme
+        from .runtime import executor as _executor
+        mod = _scheme if name.startswith("contraction_scheme") else _executor
+        return getattr(mod, name)
+    if name in (
+        "TensorNetworkSimulation", "tensor_network_contraction",
+        "quantum_circuit_simulation",
+    ):
+        from . import simulation as _sim
+        return getattr(_sim, name)
+    raise AttributeError(f"module 'artensor_tpu' has no attribute {name!r}")

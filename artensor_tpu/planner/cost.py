@@ -1,0 +1,95 @@
+"""Contraction cost model: tc / sc / mc with the big-batch multiconfig factor.
+
+All quantities live in log space:
+  tc : log2 of the multiply-add count of one pairwise contraction step
+  sc : log2 of the element count of the step's result tensor
+  mc : log2 of the memory (elements) live during the step
+       (operand + operand + result, via a stable log-sum-exp)
+
+The "multiconfig factor" accounts for the amplitude-batch axis threaded
+through subtrees that contain final-qubit tensors: a subtree containing f
+final qubits carries a batch axis of size min(2^f, max_bitstring), so both tc
+and sc grow by min(f, log2(max_bitstring)).
+
+Parity anchors (reference: /root/reference/artensor/contraction_tree.py:53-114
+and /root/reference/artensor/order_finder.py:11-16). The outer-product "-1"
+adjustment of the reference (tc loses one factor of 2 when no bond is summed)
+is preserved so planner scores are comparable.
+"""
+
+from math import log10
+
+from ..utils import log2sumexp2
+
+LOG10_2 = log10(2.0)
+
+
+def score(tc, sc, mc, sc_target=30.0, alpha=32.0, sc_weight=2.0):
+    """Scalar planner objective: smaller is better.
+
+    log10(alpha * 10^mc + 10^tc) penalized by 2*log10(2) per unit of sc above
+    the memory budget ``sc_target`` (log2 elements of the largest allowed
+    intermediate).
+    """
+    if alpha > 0.0:
+        m = max(mc + log10(alpha), tc)
+        body = m + log10(alpha * 10.0 ** (mc - m) + 10.0 ** (tc - m))
+    else:
+        body = tc
+    return body + sc_weight * LOG10_2 * max(0.0, sc - sc_target)
+
+
+def leaf_cost(tn, tensor_id):
+    """(tc, sc, mfactor) of a leaf: no FLOPs, storage = its bonds (+ batch)."""
+    mfactor = min(tn.log2_max_bitstring, float(tn.num_fq[tensor_id]))
+    sc = sum(_log2(tn.bond_dims[b]) for b in tn.tensor_bonds[tensor_id]) + mfactor
+    return 0.0, sc, mfactor
+
+
+def _log2(x):
+    from math import log2
+    return log2(x)
+
+
+def merge_cost(tn, left, right):
+    """Cost of contracting two subtrees (planner nodes).
+
+    ``left`` / ``right`` expose: ``boundary`` (dict bond -> leaf refcount,
+    restricted to bonds not yet fully contracted), ``sc``, ``mfactor``.
+
+    Returns (tc, sc, mfactor, boundary, mc, contract_bonds, all_bonds_set).
+    """
+    dims = tn.bond_dims
+    degree = tn.bond_tensors
+    merged = dict(left.boundary)
+    contract_bonds = set()
+    for b, c in right.boundary.items():
+        if b in merged:
+            c = merged[b] + c
+            if c == len(degree[b]):
+                contract_bonds.add(b)
+        merged[b] = c
+    log2_all = 0.0
+    log2_out = 0.0
+    boundary = {}
+    for b, c in merged.items():
+        d = _log2(dims[b])
+        log2_all += d
+        if b in contract_bonds:
+            continue
+        log2_out += d
+        boundary[b] = c
+    combined = left.mfactor + right.mfactor
+    mfactor = min(tn.log2_max_bitstring, combined)
+    tc = (log2_all if contract_bonds else log2_all - 1.0) + mfactor
+    sc = log2_out + mfactor
+    if combined > tn.log2_max_bitstring:
+        # batch axes of both operands get aligned to the merged batch
+        mc = log2sumexp2([
+            left.sc - left.mfactor + mfactor,
+            right.sc - right.mfactor + mfactor,
+            sc,
+        ])
+    else:
+        mc = log2sumexp2([left.sc, right.sc, sc])
+    return tc, sc, mfactor, boundary, mc, contract_bonds, merged

@@ -1,0 +1,193 @@
+"""Planner unit tests — cost model, tree surgery, slicing, greedy, SA.
+
+Unlike the reference's print-only tests (/root/reference/tests/test_core.py),
+every check here asserts.  Expected complexity values were derived by hand /
+brute force for small networks (and cross-checked once against the reference
+implementation during development).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from artensor_tpu.network import AbstractTensorNetwork
+from artensor_tpu.planner import (
+    ContractionTree,
+    GreedyOrderFinder,
+    find_order,
+    score,
+)
+
+
+def make_tn(eq, shapes, final_qubits=(), max_bitstring=1):
+    parts = eq.strip("->").split(",")
+    bond_dims = {}
+    for part, shape in zip(parts, shapes):
+        for bond, dim in zip(part, shape):
+            bond_dims[bond] = float(dim)
+    tensor_bonds = {i: list(p) for i, p in enumerate(parts)}
+    return AbstractTensorNetwork(tensor_bonds, bond_dims, final_qubits, max_bitstring)
+
+
+HYPER_EQ = "ab,ac,ad,bc,be,cf,de,df,ef->"
+HYPER_SHAPES = [(2, 2)] * 9
+HYPER_ORDER = [(0, 1), (3, 5), (0, 3), (4, 8), (0, 4), (6, 7), (0, 6), (0, 2)]
+
+
+def test_hyper_tn_complexity():
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    tree = ContractionTree(tn, HYPER_ORDER)
+    tc, sc, mc = tree.complexity()
+    # hand-derived totals for this fixed order (verified by enumeration)
+    assert tc == pytest.approx(1.8325089127062364, abs=1e-8)
+    assert sc == 3.0
+    assert mc == pytest.approx(2.1492191126553797, abs=1e-8)
+
+
+def test_ordinary_tn_complexity():
+    tn = make_tn("abc,ade,cdf,bgh,egi,fhi->", [(2, 2, 2)] * 6)
+    tree = ContractionTree(tn, [(0, 1), (2, 3), (0, 2), (4, 5), (0, 4)])
+    tc, sc, mc = tree.complexity()
+    assert sc == 6.0
+    assert tc == pytest.approx(2.380211241711606, abs=1e-8)
+    assert mc == pytest.approx(2.436162647040756, abs=1e-8)
+
+
+def test_multiconfig_complexity():
+    tn = make_tn(
+        "ab,ac,ad,bc,be,cf,de,df,ef,a,b,c->",
+        [(2, 2)] * 9 + [(2,)] * 3,
+        final_qubits=[9, 10, 11],
+        max_bitstring=7,
+    )
+    order = [(0, 1), (3, 4), (0, 3), (2, 6), (0, 2), (5, 7), (0, 5), (0, 8),
+             (0, 9), (0, 10), (0, 11)]
+    tree = ContractionTree(tn, order)
+    tc, sc, mc = tree.complexity()
+    assert sc == 5.0
+    assert tc == pytest.approx(2.2600713879850747, abs=1e-8)
+
+
+def test_open_legs_survive_to_root():
+    # 'g' and 'h' are dangling output bonds; they must appear at the root
+    tn = make_tn("ab,bcg,cdh,da->", [(2, 2), (2, 2, 2), (2, 2, 2), (2, 2)])
+    tree = ContractionTree(tn, [(0, 1), (2, 3), (0, 2)])
+    assert set(tree.root.boundary) == {"g", "h"}
+
+
+def test_whatif_matches_actual_slicing():
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    tree = ContractionTree(tn, HYPER_ORDER)
+    for bond in "abcdef":
+        predicted = tree.whatif_slice(bond)
+        tree.slicing(bond)
+        actual = tree.complexity()
+        tree.add_bond(bond)
+        # tc and sc of the incremental estimate are exact; mc uses a
+        # simplified recombination, so compare the first two strictly
+        assert predicted[0] == pytest.approx(actual[0], abs=1e-9), bond
+        assert predicted[1] == pytest.approx(actual[1], abs=1e-9), bond
+
+
+def test_slicing_add_roundtrip_restores_complexity():
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    tree = ContractionTree(tn, HYPER_ORDER)
+    before = tree.complexity()
+    tree.slicing("a")
+    tree.slicing("e")
+    mid = tree.complexity()
+    assert mid[0] < before[0]  # each slice halves the per-slice flops
+    assert mid[1] <= before[1]
+    tree.add_bond("e")
+    tree.add_bond("a")
+    after = tree.complexity()
+    assert after == pytest.approx(before, abs=1e-8)
+
+
+def test_slicing_updates_match_fresh_tree():
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    tree = ContractionTree(tn, HYPER_ORDER)
+    tree.slicing("c")
+    from artensor_tpu.planner import clone_network
+    rebuilt = ContractionTree(clone_network(tree.tn), HYPER_ORDER)
+    assert tree.complexity() == pytest.approx(rebuilt.complexity(), abs=1e-8)
+
+
+def _check_valid_order(order, n):
+    """Every pair merges two live branches; ends with one branch."""
+    alive = set(range(n))
+    for i, j in order:
+        assert i in alive and j in alive and i != j
+        alive.discard(j)
+    assert len(alive) == 1
+
+
+def test_order_exports_are_valid_and_equivalent():
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    tree = ContractionTree(tn, HYPER_ORDER)
+    bfs = tree.to_order_bfs()
+    dfs = tree.to_order_dfs()
+    _check_valid_order(bfs, 9)
+    _check_valid_order(dfs, 9)
+    from artensor_tpu.planner import clone_network
+    t_bfs = ContractionTree(clone_network(tn), bfs)
+    t_dfs = ContractionTree(clone_network(tn), dfs)
+    assert t_bfs.complexity() == pytest.approx(tree.complexity(), abs=1e-8)
+    assert t_dfs.complexity() == pytest.approx(tree.complexity(), abs=1e-8)
+
+
+def test_greedy_produces_valid_orders():
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    g = GreedyOrderFinder(tn)
+    for seed in range(4):
+        order, tc, sc = g("min_dim", seed)
+        _check_valid_order(order, 9)
+        tree = ContractionTree(tn, order)
+        got_tc, got_sc, _ = tree.complexity()
+        assert got_sc == sc
+        assert got_tc == pytest.approx(tc, abs=1e-9)
+
+
+def test_greedy_multiconfig_penalty():
+    tn = make_tn(
+        "ab,ac,ad,bc,be,cf,de,df,ef,a,b,c->",
+        [(2, 2)] * 9 + [(2,)] * 3,
+        final_qubits=[9, 10, 11],
+        max_bitstring=7,
+    )
+    order, tc, sc = GreedyOrderFinder(tn)("min_dim", 0)
+    _check_valid_order(order, 12)
+    assert sc >= math.log2(7)  # batch axis shows up in storage
+
+
+def test_find_order_respects_sc_target():
+    # ring of 20 tensors with chords; force slicing with a tight budget
+    tb = {i: [] for i in range(20)}
+    dims = {}
+    bid = 0
+    for i in range(20):
+        for j in (i + 1, i + 2):
+            b = f"b{bid}"
+            bid += 1
+            tb[i].append(b)
+            tb[j % 20].append(b)
+            dims[b] = 2.0
+    order, sliced, ctree = find_order(
+        tb, dims, sc_target=3, trials=2, iters=5,
+        betas=np.linspace(3, 21, 10), slicing_repeat=1, parallel=False,
+    )
+    _check_valid_order(order, 20)
+    tc, sc, mc = ctree.complexity()
+    assert sc <= 3.0
+    assert len(sliced) > 0
+    assert len(set(sliced)) == len(sliced)
+
+
+def test_score_function():
+    # no sc penalty below target; alpha=0 degenerates to tc
+    assert score(10.0, 20.0, 9.0, sc_target=30.0, alpha=0.0) == pytest.approx(10.0)
+    over = score(10.0, 32.0, 9.0, sc_target=30.0, alpha=0.0)
+    assert over == pytest.approx(10.0 + 2 * math.log10(2) * 2.0)
+    with_mem = score(10.0, 20.0, 10.0, sc_target=30.0, alpha=32.0)
+    assert with_mem == pytest.approx(math.log10(32.0 * 1e10 + 1e10))
