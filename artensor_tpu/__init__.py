@@ -42,9 +42,9 @@ __all__ = [
 
 def __getattr__(name):
     """Lazy exports that pull in jax only when actually used."""
-    if name in ("TensorNetworkCircuit", "load_qsim"):
-        from .circuits import qsim
-        return getattr(qsim, name)
+    if name in ("TensorNetworkCircuit", "parse_qsim", "load_cirq_circuit"):
+        from . import circuits
+        return getattr(circuits, name)
     if name in (
         "contraction_scheme", "contraction_scheme_sparse",
         "tensor_contraction", "tensor_contraction_sparse",

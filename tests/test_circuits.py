@@ -1,0 +1,161 @@
+"""Circuit front-end tests: gates, qsim parsing, oracles, cirq loader.
+
+Self-contained checks validate every export against the exact state-vector
+oracle; reference-repo fixtures (the bundled n12 qsim circuit and its
+hard-coded amplitude table, /root/reference/tests/test_circuits.py:25-31)
+are used when present and skipped otherwise.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from artensor_tpu.circuits import (
+    TensorNetworkCircuit,
+    gates,
+    load_cirq_circuit,
+    parse_qsim,
+)
+
+REF_N12 = "/root/reference/tests/circuit_n12_m14_s0_e0_pEFGH.qsim"
+REF_N30 = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
+
+# reference integration-test anchor (test_circuits.py:25-31 of the reference)
+N12_AMPLITUDES = {
+    "100001000001": 0.0198028199 + 1j * 0.0106442748,
+    "000101111011": 0.00497586094 + 1j * -0.0245072283,
+    "011000101100": -0.00853562169 + 1j * -0.00701293815,
+    "111001100001": -0.0100137182 + 1j * 0.0147468708,
+    "001110110000": 0.00681955926 + 1j * 0.0106616206,
+}
+
+SMALL = """4
+0 h 0
+0 h 1
+0 x_1_2 2
+0 y_1_2 3
+1 fsim 0 1 1.5 0.5
+1 fsim 2 3 1.4 0.6
+2 rz 0 0.3
+2 hz_1_2 1
+2 t 2 0.25
+3 cz 1 2
+"""
+
+
+def test_gates_are_unitary():
+    for name, (builder, nq) in gates.QSIM_GATES.items():
+        params = {"rz": (0.7,), "t": (0.3,), "u3": (0.5, 0.2, 0.1),
+                  "cu3": (0.5, 0.2, 0.1), "fs": (1.2, 0.4), "fsim": (1.2, 0.4),
+                  "zz": (0.9,)}.get(name, ())
+        g = builder(*params).reshape(2 ** nq, 2 ** nq)
+        assert np.allclose(g @ g.conj().T, np.eye(2 ** nq), atol=1e-12), name
+
+
+def test_known_gate_matrices():
+    # sqrt(X)^2 = X up to global phase i
+    x = gates.x_1_2()
+    assert np.allclose(x @ x, 1j * np.array([[0, 1], [1, 0]]), atol=1e-12)
+    y = gates.y_1_2()
+    assert np.allclose(y @ y, 1j * np.array([[0, -1j], [1j, 0]]), atol=1e-12)
+    w = gates.hz_1_2()
+    wmat = (np.array([[0, 1], [1, 0]]) + np.array([[0, -1j], [1j, 0]])) / np.sqrt(2)
+    assert np.allclose(w @ w, wmat, atol=1e-12)
+    f = gates.fsim(0.0, 0.0).reshape(4, 4)
+    assert np.allclose(f, np.eye(4), atol=1e-12)
+
+
+def test_parse_qsim():
+    n, layers = parse_qsim(SMALL)
+    assert n == 4
+    assert len(layers) == 4
+    assert layers[1][0] == ("fsim", (0, 1), (1.5, 0.5))
+    assert layers[2][0] == ("rz", (0,), (0.3,))
+
+
+def test_parse_qsim_rejects_bad_input():
+    with pytest.raises(ValueError):
+        parse_qsim("2\n0 notagate 0\n")
+    with pytest.raises(ValueError):
+        parse_qsim("2\n0 h 0\n5 h 1\n")  # non-contiguous layer
+
+
+def test_einsum_export_matches_state_vec():
+    c = TensorNetworkCircuit(SMALL)
+    arrays, operands, output = c.to_einsum()
+    args = []
+    for a, ix in zip(arrays, operands):
+        args += [a, ix]
+    full = np.einsum(*args, output)
+    assert np.allclose(full, c.state_vec(), atol=1e-12)
+    # state is normalized
+    assert np.isclose(np.linalg.norm(full.reshape(-1)), 1.0, atol=1e-12)
+
+
+def test_init_and_final_state_projectors():
+    c = TensorNetworkCircuit(SMALL, init_state="0101", final_state="1100")
+    arrays, operands, output = c.to_einsum()
+    assert output == []
+    args = []
+    for a, ix in zip(arrays, operands):
+        args += [a, ix]
+    amp = np.einsum(*args, [])
+    assert np.allclose(amp, c.state_vec(), atol=1e-12)
+    # projecting onto every final state recovers the open-circuit state
+    c_open = TensorNetworkCircuit(SMALL, init_state="0101")
+    psi = c_open.state_vec().reshape(-1)
+    total = sum(
+        abs(TensorNetworkCircuit(SMALL, init_state="0101",
+                                 final_state=np.binary_repr(k, 4)).state_vec()) ** 2
+        for k in range(16)
+    )
+    assert np.isclose(total, 1.0, atol=1e-10)
+    assert np.allclose(abs(psi[0b1100]), abs(amp), atol=1e-12)
+
+
+def test_mps_export_matches_state_vec():
+    c = TensorNetworkCircuit(SMALL)
+    mps = c.to_mps()
+    psi = mps[0]
+    for m in mps[1:]:
+        psi = np.einsum("abc,cde->abde", psi, m).reshape(psi.shape[0], -1, m.shape[2])
+    assert np.allclose(psi.reshape(-1), c.state_vec().reshape(-1), atol=1e-10)
+
+
+def test_abstract_tn_export():
+    c = TensorNetworkCircuit(SMALL)
+    tensor_bonds, bond_dims, final_qubits = c.to_abstract_tn()
+    assert len(tensor_bonds) == 4 + 10  # 4 init states + 10 gates
+    assert all(d == 2.0 for d in bond_dims.values())
+    assert len(final_qubits) == 4
+    # wire labels: every gate's out/in legs are well-formed
+    tensors, *_ = c.to_numerical_tn()
+    for i, bonds in tensor_bonds.items():
+        assert tensors[i].shape == (2,) * len(bonds)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_N12), reason="reference data absent")
+def test_n12_state_vec_against_reference_table():
+    c = TensorNetworkCircuit(REF_N12)
+    psi = c.state_vec().reshape(-1)
+    for bits, amp in N12_AMPLITUDES.items():
+        assert np.allclose(psi[int(bits, 2)], amp, rtol=1e-4), bits
+
+
+@pytest.mark.skipif(not os.path.exists(REF_N30), reason="reference data absent")
+def test_cirq_loader_n30():
+    n, layers = load_cirq_circuit(REF_N30)
+    assert n == 30
+    assert len(layers) == 57
+    census = {}
+    for layer in layers:
+        for name, qubits, params in layer:
+            census[name] = census.get(name, 0) + 1
+    assert census == {"hz_1_2": 152, "y_1_2": 145, "x_1_2": 153,
+                      "rz": 656, "fsim": 164}
+    # builds into a TN without errors
+    c = TensorNetworkCircuit((n, layers))
+    tb, bd, fq = c.to_abstract_tn()
+    assert len(tb) == 30 + 1270
+    assert len(fq) == 30
