@@ -54,11 +54,11 @@ def test_gates_are_unitary():
 
 
 def test_known_gate_matrices():
-    # sqrt(X)^2 = X up to global phase i
+    # these sqrt conventions square exactly to their base Paulis
     x = gates.x_1_2()
-    assert np.allclose(x @ x, 1j * np.array([[0, 1], [1, 0]]), atol=1e-12)
+    assert np.allclose(x @ x, np.array([[0, 1], [1, 0]]), atol=1e-12)
     y = gates.y_1_2()
-    assert np.allclose(y @ y, 1j * np.array([[0, -1j], [1j, 0]]), atol=1e-12)
+    assert np.allclose(y @ y, np.array([[0, -1j], [1j, 0]]), atol=1e-12)
     w = gates.hz_1_2()
     wmat = (np.array([[0, 1], [1, 0]]) + np.array([[0, -1j], [1j, 0]])) / np.sqrt(2)
     assert np.allclose(w @ w, wmat, atol=1e-12)
