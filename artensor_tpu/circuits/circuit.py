@@ -105,7 +105,13 @@ class TensorNetworkCircuit:
     def to_abstract_tn(self):
         tensor_bonds = {i: list(b) for i, b in enumerate(self.bonds)}
         bond_dims = {b: 2.0 for bs in self.bonds for b in bs}
-        final_qubits = set(range(len(self.bonds) - self.n, len(self.bonds)))
+        if self.final_state is not None:
+            # closed network: no open legs, no amplitude-batch tensors
+            final_qubits = set()
+        else:
+            # the last n tensors are the final single-qubit gate per qubit
+            # (Sycamore circuits end with a full 1q layer)
+            final_qubits = set(range(len(self.bonds) - self.n, len(self.bonds)))
         return tensor_bonds, bond_dims, final_qubits
 
     def to_numerical_tn(self):

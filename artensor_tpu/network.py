@@ -107,11 +107,14 @@ class AbstractTensorNetwork:
         return new_bonds
 
     def neighbor_with_most_bonds(self, tid):
-        """Among tensors sharing a bond with ``tid``, the one of largest rank."""
+        """Among tensors sharing a bond with ``tid``, the one of largest rank
+        (None if the tensor is isolated)."""
         cands = set()
         for b in self.tensor_bonds[tid]:
             cands |= self.bond_tensors[b]
         cands.discard(tid)
+        if not cands:
+            return None
         return max(cands, key=lambda t: (len(self.tensor_bonds[t]), t))
 
 
@@ -167,30 +170,35 @@ class NumericalTensorNetwork(AbstractTensorNetwork):
         axis (payload axis 0).
         """
         assert strategy in ("normal", "sparse")
-        # 1. dangling tensors
-        dangling = {
-            t for t, bs in self.tensor_bonds.items()
-            if len(bs) == 1 and t not in self.final_qubits
-        }
-        while dangling:
-            nxt = set()
+        # 1. dangling tensors (re-scan each round: a contraction may consume
+        # or reshape other members of the current round's set)
+        while True:
+            dangling = [
+                t for t, bs in self.tensor_bonds.items()
+                if len(bs) == 1 and t not in self.final_qubits
+            ]
+            progressed = False
             for tid in dangling:
+                if tid not in self.tensor_bonds or len(self.tensor_bonds[tid]) != 1:
+                    continue
                 host = self.neighbor_with_most_bonds(tid)
+                if host is None:
+                    continue
                 self.contract(host, tid)
-                if len(self.tensor_bonds[host]) == 1 and host not in self.final_qubits:
-                    nxt.add(host)
-            dangling = nxt
+                progressed = True
+            if not progressed:
+                break
         # 2. matrix tensors
         while True:
             mats = [
                 t for t, bs in self.tensor_bonds.items()
                 if len(bs) == 2 and t not in self.final_qubits
+                and self.neighbor_with_most_bonds(t) is not None
             ]
             if not mats:
                 break
             tid = mats[0]
-            host = self.neighbor_with_most_bonds(tid)
-            self.contract(host, tid)
+            self.contract(self.neighbor_with_most_bonds(tid), tid)
         # 3. parallel bonds: group bonds by their endpoint set
         by_endpoints = {}
         for bond, touching in self.bond_tensors.items():

@@ -81,8 +81,11 @@ def sa_trial(tree, sc_target, iters, betas, seed,
     while loop < slicing_repeat * (optimized_sc - sc_target) or best[0][2] > sc_target:
         current_sc = tree.complexity()[1]
         if current_sc > sc_target:
+            candidates = tree.slice_candidates()
+            if not candidates:
+                break  # budget unreachable (open legs dominate): keep best
             ranked = min(
-                tree.slice_candidates(),
+                candidates,
                 key=lambda b: score(*tree.whatif_slice(b), sc_target, alpha),
             )
             tree.slicing(ranked)

@@ -156,13 +156,21 @@ class ContractionTree:
     # -- slicing ----------------------------------------------------------
 
     def slice_candidates(self):
-        """Bonds appearing on the boundary of any maximal-sc node."""
+        """Bonds on the boundary of any maximal-sc node.
+
+        Open (degree-1) bonds are excluded: slicing sums over the sliced
+        index, which would silently marginalize an output leg.  (The
+        reference allows them, contraction_tree.py:187-201 — a latent
+        correctness hazard when sc_target < #open legs.)  May return an
+        empty set, meaning the sc budget is unreachable by slicing.
+        """
         _, sc, _ = self.complexity()
         pool = set()
         for v in self.nodes_root_to_leaves():
             if v.sc == sc:
-                pool.update(v.boundary.keys())
-        assert pool, "no slicing candidates at max-sc nodes"
+                pool.update(
+                    b for b in v.boundary
+                    if len(self.tn.bond_tensors[b]) > 1)
         return pool
 
     def _refresh_marked(self, marked):

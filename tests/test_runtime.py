@@ -1,0 +1,153 @@
+"""Runtime tests: dense scheme execution, slicing, multi-device sharding.
+
+Runs on the CPU platform with 8 virtual devices (conftest.py).  Correctness
+is always against the exact state-vector oracle or the reference's n12
+amplitude table.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from artensor_tpu.circuits import TensorNetworkCircuit
+from artensor_tpu.network import NumericalTensorNetwork
+from artensor_tpu.planner import find_order
+from artensor_tpu.runtime import (
+    build_slicing_axes,
+    compile_dense,
+    contraction_scheme,
+)
+
+REF_N12 = "/root/reference/tests/circuit_n12_m14_s0_e0_pEFGH.qsim"
+
+SMALL = """4
+0 h 0
+0 h 1
+0 x_1_2 2
+0 y_1_2 3
+1 fsim 0 1 1.5 0.5
+1 fsim 2 3 1.4 0.6
+2 rz 0 0.3
+2 hz_1_2 1
+2 t 2 0.25
+2 y_1_2 3
+3 fsim 1 2 1.2 0.3
+4 x_1_2 0
+4 hz_1_2 1
+4 y_1_2 2
+4 x_1_2 3
+"""
+
+PLAN_KW = dict(trials=2, iters=6, betas=np.linspace(3, 21, 12),
+               slicing_repeat=2, parallel=False)
+
+
+def _plan_and_arrays(circuit, pattern="normal", sc_target=30, dtype=np.complex128):
+    tensors, tb, bd, fq = circuit.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify(pattern)
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, sc_target=sc_target, **PLAN_KW)
+    arrays = [jnp.asarray(ntn.tensors[i].astype(dtype))
+              for i in range(len(ntn.tensors))]
+    return tb2, sliced, ctree, arrays
+
+
+def test_dense_executor_matches_oracle():
+    c = TensorNetworkCircuit(SMALL)
+    tb2, sliced, ctree, arrays = _plan_and_arrays(c)
+    assert sliced == []
+    steps, out_bonds = contraction_scheme(ctree)
+    run = compile_dense(steps, [], 0, (2,) * len(out_bonds))
+    result = np.asarray(run(arrays))
+    perm = np.argsort([int(str(b).split("-")[1]) for b in out_bonds])
+    got = result.transpose(perm).reshape(-1)
+    want = c.state_vec().reshape(-1)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_N12), reason="reference data absent")
+def test_closed_circuit_sliced_contraction():
+    # closed n12 amplitude with a tight budget: slicing must engage
+    c = TensorNetworkCircuit(REF_N12, final_state="100001000001")
+    want = c.state_vec()
+    tb2, sliced, ctree, arrays = _plan_and_arrays(c, sc_target=8)
+    assert len(sliced) >= 1  # tight budget forces slicing
+    assert ctree.complexity()[1] <= 8
+    steps, out_bonds = contraction_scheme(ctree)
+    assert out_bonds == []
+    axes = build_slicing_axes(tb2, sliced)
+    run = compile_dense(steps, axes, len(sliced), ())
+    got = complex(run(arrays))
+    assert abs(got - complex(want)) < 1e-10
+
+
+@pytest.mark.skipif(not os.path.exists(REF_N12), reason="reference data absent")
+def test_sharded_slices_match_single_device():
+    from artensor_tpu.parallel import make_mesh, run_sliced_contraction
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    c = TensorNetworkCircuit(REF_N12, final_state="000101111011")
+    tb2, sliced, ctree, arrays = _plan_and_arrays(c, sc_target=8)
+    k = len(sliced)
+    assert 2 ** k >= 8, "need at least one slice per device"
+    steps, _ = contraction_scheme(ctree)
+    axes = build_slicing_axes(tb2, sliced)
+    single = complex(compile_dense(steps, axes, k, ())(arrays))
+    mesh = make_mesh(8)
+    sharded = complex(run_sliced_contraction(arrays, steps, axes, k, (), mesh))
+    assert abs(single - sharded) < 1e-10
+    assert abs(single - complex(c.state_vec())) < 1e-12
+
+
+def test_build_slicing_axes_shared_tensor():
+    # one tensor carrying two sliced bonds: later axes must shift
+    tb = {0: ["a", "b", "c"], 1: ["a"], 2: ["b"], 3: ["c"]}
+    axes = build_slicing_axes(tb, ["a", "c"])
+    # bond 'a': tensor0 axis 0, tensor1 axis 0
+    assert (0, 0) in axes[0] and (1, 0) in axes[0]
+    # bond 'c': tensor0's axis 2 shifts to 1 after 'a' was removed
+    assert (0, 1) in axes[1] and (3, 0) in axes[1]
+    # numeric check: select bits (1, 0) both ways
+    x = np.arange(8).reshape(2, 2, 2)
+    got = x[1][:, 0]  # slice a=1 then c=0 with shifted axis
+    want = x[1, :, 0]
+    assert np.array_equal(got, want)
+
+
+def test_open_bonds_never_sliced():
+    # dense open-output circuit with a budget below the open-leg count:
+    # the planner must NOT slice output legs (that would marginalize them)
+    c = TensorNetworkCircuit(SMALL)
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("normal")
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, sc_target=2, **PLAN_KW)
+    open_bonds = {b for b, ts in ctree.tn.bond_tensors.items() if len(ts) == 1}
+    for b in sliced:
+        assert b not in open_bonds
+    # all four output legs still reach the root
+    assert len(ctree.root.boundary) == 4
+
+
+@pytest.mark.skipif(not os.path.exists(REF_N12), reason="reference data absent")
+def test_n12_dense_full_amplitudes():
+    from artensor_tpu.simulation import quantum_circuit_simulation
+    from test_circuits import N12_AMPLITUDES
+
+    res, bits = quantum_circuit_simulation(
+        REF_N12, [], sc_target=30, trial_num=2, dtype=np.complex64,
+        parallel=False, iters=8)
+    assert bits == []
+    amps = np.asarray(res).reshape(-1)
+    assert amps.shape == (4096,)
+    for bs, amp in N12_AMPLITUDES.items():
+        assert np.allclose(amps[int(bs, 2)], amp, rtol=1e-4, atol=1e-7), bs
+    # normalization survives the pipeline
+    assert np.isclose(np.linalg.norm(amps), 1.0, atol=1e-5)
