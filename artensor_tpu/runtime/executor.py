@@ -53,20 +53,25 @@ def slice_select(tensors, slicing_axes, slice_id, num_sliced):
     return bufs
 
 
-def build_slicing_axes(tensor_bonds, slicing_bonds):
+def build_slicing_axes(tensor_bonds, slicing_bonds, batched_tensors=()):
     """Compute static (tensor_id, axis) selections for each sliced bond.
 
     ``tensor_bonds`` is the UNSLICED bond mapping (all bonds present).
-    Axes are emitted so that, per tensor, higher axes are selected first —
-    fixing the reference's latent axis-shift bug when one tensor carries two
-    sliced bonds (simulation.py:60-65 computes indices against the original
-    layout but applies them sequentially).
+    ``batched_tensors``: ids whose payload carries a leading amplitude-batch
+    axis (sparse-mode final-qubit tensors) — their bond axes shift by one.
+    Axes are adjusted for earlier selections on the same tensor, fixing the
+    reference's latent axis-shift bug when one tensor carries two sliced
+    bonds (simulation.py:60-65 computes indices against the original layout
+    but applies them sequentially).
     """
+    batched = set(batched_tensors)
     per_tensor = {}
     for x, bond in enumerate(slicing_bonds):
         for tid, bonds in tensor_bonds.items():
             if bond in bonds:
-                per_tensor.setdefault(tid, []).append((x, bonds.index(bond)))
+                off = 1 if tid in batched else 0
+                per_tensor.setdefault(tid, []).append(
+                    (x, bonds.index(bond) + off))
     slicing_axes = [[] for _ in slicing_bonds]
     for tid, pairs in per_tensor.items():
         # selections happen in bond order x; adjust each axis for the axes

@@ -1,0 +1,270 @@
+"""Sparse-state (big-batch) scheme: thousands of bitstring amplitudes in one
+contraction.
+
+An amplitude batch axis is threaded through the contraction tree: every
+final-qubit tensor starts with a 2-row batch (its output leg's two values),
+and each merge combines batch metadata.  Three merge regimes (parity:
+/root/reference/artensor/contraction.py:208-341):
+
+  cross    both operands batched, and either every combination is needed or
+           the cross product fits the memory budget: einsum with separate
+           batch labels, reshape to one batch axis (left-major), optionally
+           select the needed rows afterwards.
+  aligned  both operands batched, cross product too big: per-target gather
+           index arrays pick matching rows from each side and the einsum
+           carries ONE shared batch label; the gather+einsum is chunked when
+           batch x operand exceeds 2^(sc_target-2).
+  pass     at most one operand batched: plain einsum, batch label rides
+           along.
+
+Everything the executor needs — index arrays, chunk boundaries, reshapes —
+is computed here on the host with numpy, so the executor traces into a
+single static XLA program (gathers become jnp.take with constant indices).
+
+Bitstrings are handled as (B, n) uint8 bit matrices rather than python
+strings; targets project/unique/sort via numpy (np.unique on rows sorts
+lexicographically, matching the reference's sorted-string semantics).
+"""
+
+from dataclasses import dataclass
+from math import ceil, log2
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SparseStep:
+    i: int
+    j: int
+    ix_i: tuple          # int einsum labels for buffer i (batch label first if batched)
+    ix_j: tuple
+    iy: tuple
+    gathers: tuple | None    # aligned: ((gi, gj), ...) chunked index arrays
+    reshape: tuple | None    # cross: merge split batch axes after einsum
+    post_select: object      # cross: row-index array or None
+
+
+def _bits_to_ints(bits):
+    """(B, w) uint8 rows -> ints, MSB first. w may be 0 (-> zeros)."""
+    if bits.shape[1] == 0:
+        return np.zeros(bits.shape[0], dtype=np.int64)
+    weights = 1 << np.arange(bits.shape[1] - 1, -1, -1, dtype=np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def _ints_to_bits(vals, width):
+    vals = np.asarray(vals, dtype=np.int64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((vals[:, None] >> shifts) & 1).astype(np.uint8)
+
+
+def _lookup_positions(haystack, needles):
+    """Position of each needle in haystack (values unique in haystack)."""
+    order = np.argsort(haystack, kind="stable")
+    pos = np.searchsorted(haystack[order], needles)
+    return order[pos]
+
+
+def _relabel(*index_lists):
+    lab = {}
+    for ix in index_lists:
+        for b in ix:
+            lab.setdefault(b, len(lab))
+    return tuple(tuple(lab[b] for b in ix) for ix in index_lists)
+
+
+def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
+    """Compile the big-batch scheme.
+
+    Parameters
+    ----------
+    ctree : planner ContractionTree over the (sliced) sparse network; its
+        ``tn.final_qubits`` holds, per qubit, the tensor id carrying that
+        qubit's batch axis.
+    bitstrings : list[str]
+        Target amplitudes as '0'/'1' strings over all final qubits.
+    sc_target : float
+        log2 memory budget steering cross-vs-aligned and chunking decisions.
+
+    Returns (steps, output_bonds, bitstrings_sorted).
+    """
+    order = ctree.to_order_dfs()
+    tn = ctree.tn
+    bonds = {t: list(bs) for t, bs in tn.tensor_bonds.items()}
+    final_qubits = list(tn.final_qubits)
+    if isinstance(tn.final_qubits, (set, frozenset)):
+        final_qubits = sorted(final_qubits)
+    qubit_of_tensor = {tid: q for q, tid in enumerate(final_qubits)}
+    n_qubits = len(final_qubits)
+    targets = np.array(
+        [[int(c) for c in s] for s in bitstrings], dtype=np.uint8)
+    assert targets.shape[1] == n_qubits
+
+    # per-tensor batch metadata: (sorted qubit ids, int-encoded partial reps)
+    info = {}
+    for tid in bonds:
+        if tid in qubit_of_tensor:
+            info[tid] = ([qubit_of_tensor[tid]], np.array([0, 1], dtype=np.int64))
+        else:
+            info[tid] = ([], np.array([-1], dtype=np.int64))
+
+    steps = []
+    last = None
+    for i, j in order:
+        bond_i, bond_j = bonds[i], bonds[j]
+        common = sorted(set(bond_i) & set(bond_j), key=str)
+        still_used = {
+            b for b in common
+            if any(b in bonds[t] for t in bonds if t not in (i, j) and bonds[t])
+        }
+        contracted = [b for b in common if b not in still_used]
+        new_bonds = [b for b in bond_i if b not in contracted]
+        new_bonds += [b for b in bond_j if b not in contracted and b not in new_bonds]
+        bonds[i], bonds[j] = new_bonds, []
+
+        q_i, rep_i = info[i]
+        q_j, rep_j = info[j]
+        merged_q = sorted(q_i + q_j)
+        gathers = reshape = None
+        post_select = None
+        batched_i, batched_j = len(q_i) > 0, len(q_j) > 0
+
+        if not batched_i and not batched_j:
+            rep = np.array([-1], dtype=np.int64)
+            ix_i, ix_j, iy = tuple(bond_i), tuple(bond_j), tuple(new_bonds)
+        elif batched_i != batched_j:
+            rep = rep_i if batched_i else rep_j
+            B = "batch"
+            ix_i = (B, *bond_i) if batched_i else tuple(bond_i)
+            ix_j = (B, *bond_j) if batched_j else tuple(bond_j)
+            iy = (B, *new_bonds)
+        else:
+            loc_i = [merged_q.index(q) for q in q_i]
+            loc_j = [merged_q.index(q) for q in q_j]
+            # unique required partial bitstrings over the merged qubits,
+            # sorted lexicographically
+            sub = np.unique(targets[:, merged_q], axis=0)
+            need = _bits_to_ints(sub)
+            full_cross = len(need) == 2 ** len(merged_q)
+            cheap = len(merged_q) + len(new_bonds) <= sc_target
+            if full_cross or cheap:
+                # ---- cross regime -------------------------------------
+                xb = _ints_to_bits(rep_i, len(q_i))
+                yb = _ints_to_bits(rep_j, len(q_j))
+                cross = np.zeros(
+                    (len(rep_i), len(rep_j), len(merged_q)), dtype=np.uint8)
+                cross[:, :, loc_i] = xb[:, None, :]
+                cross[:, :, loc_j] = yb[None, :, :]
+                rep = _bits_to_ints(cross.reshape(-1, len(merged_q)))
+                if len(need) != len(rep):
+                    keep = np.sort(_lookup_positions(rep, need))
+                    rep = rep[keep]
+                    post_select = keep
+                BI, BJ = "batch_i", "batch_j"
+                ix_i, ix_j = (BI, *bond_i), (BJ, *bond_j)
+                iy = (BI, BJ, *new_bonds)
+                reshape = (-1,) + (2,) * len(new_bonds)
+            else:
+                # ---- aligned-gather regime ----------------------------
+                part_i = _bits_to_ints(sub[:, loc_i])
+                part_j = _bits_to_ints(sub[:, loc_j])
+                gi = _lookup_positions(rep_i, part_i)
+                gj = _lookup_positions(rep_j, part_j)
+                # sort targets by the larger operand's gather index for
+                # memory-friendly (near-sequential) gathers on that side
+                major = gi if len(rep_i) >= len(rep_j) else gj
+                sort_idx = np.argsort(major, kind="stable")
+                gi, gj, rep = gi[sort_idx], gj[sort_idx], need[sort_idx]
+                B = len(rep)
+                overshoot = log2(B) + max(len(bond_i), len(bond_j)) - (sc_target - 2)
+                n_chunks = min(2 ** ceil(max(0.0, overshoot)), B)
+                if n_chunks > 1:
+                    # ceil-based chunking covers ALL B rows (the reference's
+                    # floor-based variant, contraction.py:291-297, drops tail
+                    # elements when B % n_chunks > chunk length)
+                    L = -(-B // n_chunks)
+                    n_chunks = -(-B // L)
+                    gathers = tuple(
+                        (gi[c * L:(c + 1) * L], gj[c * L:(c + 1) * L])
+                        for c in range(n_chunks))
+                else:
+                    gathers = ((gi, gj),)
+                Bl = "batch"
+                ix_i, ix_j = (Bl, *bond_i), (Bl, *bond_j)
+                iy = (Bl, *new_bonds)
+
+        ix_i, ix_j, iy = _relabel(ix_i, ix_j, iy)
+        steps.append(SparseStep(i, j, ix_i, ix_j, iy,
+                                gathers, reshape, post_select))
+        info[i] = (merged_q, rep)
+        last = i
+
+    out_reps = info[last][1]
+    bitstrings_sorted = ["".join(map(str, row))
+                         for row in _ints_to_bits(out_reps, n_qubits)]
+    return steps, bonds[last], bitstrings_sorted
+
+
+def execute_sparse(tensors, steps, precision="highest"):
+    """Run a sparse scheme over device arrays (traceable)."""
+    import jax.numpy as jnp
+
+    from ..ops.einsum import pairwise_einsum
+
+    bufs = list(tensors)
+    last = 0
+    for s in steps:
+        x, y = bufs[s.i], bufs[s.j]
+        if s.gathers is not None:
+            parts = [
+                pairwise_einsum(
+                    jnp.take(x, jnp.asarray(gi), axis=0),
+                    jnp.take(y, jnp.asarray(gj), axis=0),
+                    s.ix_i, s.ix_j, s.iy, precision)
+                for gi, gj in s.gathers
+            ]
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        else:
+            out = pairwise_einsum(x, y, s.ix_i, s.ix_j, s.iy, precision)
+            if s.reshape is not None:
+                out = out.reshape(s.reshape)
+            if s.post_select is not None:
+                out = jnp.take(out, jnp.asarray(s.post_select), axis=0)
+        bufs[s.i] = out
+        bufs[s.j] = None
+        last = s.i
+    return bufs[last]
+
+
+def tensor_contraction_sparse(tensors, steps, precision="highest"):
+    """Eager convenience wrapper (reference-parity name)."""
+    import jax.numpy as jnp
+
+    return execute_sparse([jnp.asarray(t) for t in tensors], steps, precision)
+
+
+def compile_sparse(steps, slicing_axes, num_sliced, output_shape,
+                   precision="highest", unroll=1):
+    """jit-compiled sparse contraction including the 2^k slice scan."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .executor import slice_select
+
+    def run(tensors, slice_ids=None, init=None):
+        if num_sliced == 0:
+            return execute_sparse(tensors, steps, precision)
+        ids = (jnp.arange(2 ** num_sliced, dtype=jnp.int32)
+               if slice_ids is None else slice_ids)
+
+        def body(acc, sid):
+            sliced = slice_select(tensors, slicing_axes, sid, num_sliced)
+            return acc + execute_sparse(sliced, steps, precision), None
+
+        if init is None:
+            init = jnp.zeros(output_shape, dtype=tensors[0].dtype)
+        acc, _ = lax.scan(body, init, ids, unroll=unroll)
+        return acc
+
+    return jax.jit(run)

@@ -112,8 +112,9 @@ class TensorNetworkSimulation:
                 contraction_scheme_sparse(
                     self.ctree, self.bitstrings,
                     sc_target=self.config.sc_target)
+        batched = self.final_qubits if self.pattern == "sparse" else ()
         self.slicing_axes = ex.build_slicing_axes(
-            self.tensor_bonds, self.slicing_bonds)
+            self.tensor_bonds, self.slicing_bonds, batched_tensors=batched)
         # output permutation: sort open legs into qubit order
         qubit_order = [_qubit_of(b) for b in self.output_bonds]
         perm = tuple(np.argsort(qubit_order)) if qubit_order else ()
