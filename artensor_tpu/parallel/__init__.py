@@ -14,15 +14,13 @@ All collectives are XLA collectives over the mesh; on a real pod the
 'slice' axis should map to ICI-adjacent devices.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..runtime.executor import make_sliced_contraction
+from ..ops.field import make_field
+from ..runtime.executor import execute_dense, make_sliced_runner
 
 
 def make_mesh(n_devices=None, axis_name="slice", devices=None):
@@ -34,38 +32,45 @@ def make_mesh(n_devices=None, axis_name="slice", devices=None):
     return Mesh(np.array(devices), (axis_name,))
 
 
+def _tensor_specs(tensors, spec):
+    """One PartitionSpec per field-tensor leaf (pairs for SplitField)."""
+    return tuple(
+        tuple(spec for _ in t) if isinstance(t, tuple) else spec
+        for t in tensors
+    )
+
+
 def run_sliced_contraction(tensors, steps, slicing_axes, num_sliced,
-                           output_shape, mesh, precision="highest",
-                           axis_name="slice"):
+                           output_shape, mesh, field=None,
+                           execute=execute_dense, axis_name="slice"):
     """Shard the 2^k slice ids across ``mesh``; psum partial accumulators.
 
     Every device runs the same compiled scan over its local slice-id chunk;
     one psum over ICI combines the partials.  Result is replicated.
+    ``execute`` selects the per-slice executor (dense or sparse).
     """
+    field = field or make_field()
     n_dev = int(np.prod(mesh.devices.shape))
     total = 2 ** num_sliced
+    run = make_sliced_runner(
+        execute, steps, slicing_axes, num_sliced, output_shape, field)
     if num_sliced == 0 or n_dev == 1 or total % n_dev != 0:
-        run = jax.jit(make_sliced_contraction(
-            steps, slicing_axes, num_sliced, output_shape, precision))
-        return run(list(tensors))
+        return jax.jit(run)(list(tensors))
 
     ids = jnp.arange(total, dtype=jnp.int32).reshape(n_dev, total // n_dev)
-    run = make_sliced_contraction(
-        steps, slicing_axes, num_sliced, output_shape, precision)
 
     def worker(local_ids, *arrays):
         # the accumulator varies per device (different slice chunks):
         # mark it varying over the mesh axis for the scan carry
-        init = lax.pvary(
-            jnp.zeros(output_shape, dtype=arrays[0].dtype), (axis_name,))
+        init = field.pvary(field.zeros(output_shape), axis_name)
         partial_acc = run(list(arrays), local_ids.reshape(-1), init=init)
-        return lax.psum(partial_acc, axis_name)
+        return field.psum(partial_acc, axis_name)
 
     shard = jax.shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(axis_name),) + (P(),) * len(tensors),
-        out_specs=P(),
+        in_specs=(P(axis_name),) + _tensor_specs(tensors, P()),
+        out_specs=_tensor_specs([tensors[0]], P())[0],
     )
     return jax.jit(shard)(ids, *tensors)
 
@@ -76,8 +81,7 @@ def dispatch_batches(make_runner, batch_plans, devices=None):
     gather plans, so they are distinct XLA programs by construction).
 
     ``make_runner(plan) -> callable()`` builds the jitted program for one
-    group; dispatch is async (jax returns futures-like arrays), so devices
-    overlap.
+    group; dispatch is async (jax arrays are futures), so devices overlap.
     """
     if devices is None:
         devices = jax.devices()

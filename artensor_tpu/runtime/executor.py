@@ -7,35 +7,38 @@ ids, so XLA pipelines steps and keeps everything on-device.  (The reference
 executes each einsum as a separate kernel launch from Python and loops
 slices in Python: /root/reference/artensor/contraction.py:62-76,
 simulation.py:203-210.)
-"""
 
-from functools import partial
+All numeric work goes through a Field (ops/field.py): complex tensors are
+(re, im) pairs on TPU (no complex dtype on the MXU), or native complex on
+CPU.  Executors are representation-agnostic.
+"""
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.einsum import pairwise_einsum
+from ..ops.field import make_field
 
 
-def execute_dense(tensors, steps, precision="highest"):
-    """Run dense scheme ``steps`` over a list of device arrays (traceable)."""
+def execute_dense(tensors, steps, field):
+    """Run dense scheme ``steps`` over staged field tensors (traceable)."""
     bufs = list(tensors)
     last = 0
     for s in steps:
-        bufs[s.i] = pairwise_einsum(
-            bufs[s.i], bufs[s.j], s.ix_i, s.ix_j, s.iy, precision)
+        bufs[s.i] = field.einsum(bufs[s.i], bufs[s.j], s.ix_i, s.ix_j, s.iy)
         bufs[s.j] = None  # free for XLA liveness
         last = s.i
     return bufs[last]
 
 
-def tensor_contraction(tensors, steps, precision="highest"):
-    """Eager convenience wrapper (reference-parity name)."""
-    return execute_dense([jnp.asarray(t) for t in tensors], steps, precision)
+def tensor_contraction(tensors, steps, field=None):
+    """Eager convenience wrapper (reference-parity name): numpy in/out."""
+    field = field or make_field()
+    staged = [field.wrap(t) for t in tensors]
+    return field.unwrap(execute_dense(staged, steps, field))
 
 
-def slice_select(tensors, slicing_axes, slice_id, num_sliced):
+def slice_select(tensors, slicing_axes, slice_id, num_sliced, field):
     """Select one slice configuration (traceable).
 
     ``slicing_axes``: list over sliced bonds (MSB-first like the reference's
@@ -48,8 +51,7 @@ def slice_select(tensors, slicing_axes, slice_id, num_sliced):
     for x, pairs in enumerate(slicing_axes):
         bit = (slice_id >> (k - 1 - x)) & 1
         for tid, ax in pairs:
-            bufs[tid] = lax.dynamic_index_in_dim(
-                bufs[tid], bit, axis=ax, keepdims=False)
+            bufs[tid] = field.index(bufs[tid], bit, ax)
     return bufs
 
 
@@ -85,36 +87,39 @@ def build_slicing_axes(tensor_bonds, slicing_bonds, batched_tensors=()):
     return slicing_axes
 
 
-def make_sliced_contraction(steps, slicing_axes, num_sliced, output_shape,
-                            precision="highest", unroll=1):
-    """Build a traceable function: tensors -> sum over all 2^k slices.
+def make_sliced_runner(execute, steps, slicing_axes, num_sliced, output_shape,
+                       field, unroll=1):
+    """Traceable fn: tensors -> sum over slices of ``execute(sliced, steps)``.
 
-    The slice loop is a scan so the compiled program is O(steps), not
-    O(steps * 2^k); per-slice shapes are identical.
+    Shared by the dense and sparse paths; the slice loop is a scan so the
+    compiled program is O(steps), not O(steps * 2^k).
     """
     def run(tensors, slice_ids=None, init=None):
         if num_sliced == 0:
-            return execute_dense(tensors, steps, precision)
-        if slice_ids is None:
-            ids = jnp.arange(2 ** num_sliced, dtype=jnp.int32)
-        else:
-            ids = slice_ids
+            return execute(tensors, steps, field)
+        ids = (jnp.arange(2 ** num_sliced, dtype=jnp.int32)
+               if slice_ids is None else slice_ids)
 
         def body(acc, sid):
-            sliced = slice_select(tensors, slicing_axes, sid, num_sliced)
-            return acc + execute_dense(sliced, steps, precision), None
+            sliced = slice_select(tensors, slicing_axes, sid, num_sliced, field)
+            return field.add(acc, execute(sliced, steps, field)), None
 
         if init is None:
-            init = jnp.zeros(output_shape, dtype=tensors[0].dtype)
+            init = field.zeros(output_shape)
         acc, _ = lax.scan(body, init, ids, unroll=unroll)
         return acc
 
     return run
 
 
-def compile_dense(steps, slicing_axes, num_sliced, output_shape,
-                  precision="highest", donate=False):
-    """jit-compiled full contraction (slice loop included)."""
-    fn = make_sliced_contraction(
-        steps, slicing_axes, num_sliced, output_shape, precision)
-    return jax.jit(fn)
+def make_sliced_contraction(steps, slicing_axes, num_sliced, output_shape,
+                            field, unroll=1):
+    """Dense-path sliced runner (see make_sliced_runner)."""
+    return make_sliced_runner(execute_dense, steps, slicing_axes, num_sliced,
+                              output_shape, field, unroll)
+
+
+def compile_dense(steps, slicing_axes, num_sliced, output_shape, field):
+    """jit-compiled full dense contraction (slice loop included)."""
+    return jax.jit(make_sliced_contraction(
+        steps, slicing_axes, num_sliced, output_shape, field))

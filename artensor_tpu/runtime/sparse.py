@@ -205,66 +205,45 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
     return steps, bonds[last], bitstrings_sorted
 
 
-def execute_sparse(tensors, steps, precision="highest"):
-    """Run a sparse scheme over device arrays (traceable)."""
-    import jax.numpy as jnp
-
-    from ..ops.einsum import pairwise_einsum
-
+def execute_sparse(tensors, steps, field):
+    """Run a sparse scheme over staged field tensors (traceable)."""
     bufs = list(tensors)
     last = 0
     for s in steps:
         x, y = bufs[s.i], bufs[s.j]
         if s.gathers is not None:
             parts = [
-                pairwise_einsum(
-                    jnp.take(x, jnp.asarray(gi), axis=0),
-                    jnp.take(y, jnp.asarray(gj), axis=0),
-                    s.ix_i, s.ix_j, s.iy, precision)
+                field.einsum(field.take(x, gi, axis=0), field.take(y, gj, axis=0),
+                             s.ix_i, s.ix_j, s.iy)
                 for gi, gj in s.gathers
             ]
-            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            out = parts[0] if len(parts) == 1 else field.concat(parts, axis=0)
         else:
-            out = pairwise_einsum(x, y, s.ix_i, s.ix_j, s.iy, precision)
+            out = field.einsum(x, y, s.ix_i, s.ix_j, s.iy)
             if s.reshape is not None:
-                out = out.reshape(s.reshape)
+                out = field.reshape(out, s.reshape)
             if s.post_select is not None:
-                out = jnp.take(out, jnp.asarray(s.post_select), axis=0)
+                out = field.take(out, s.post_select, axis=0)
         bufs[s.i] = out
         bufs[s.j] = None
         last = s.i
     return bufs[last]
 
 
-def tensor_contraction_sparse(tensors, steps, precision="highest"):
-    """Eager convenience wrapper (reference-parity name)."""
-    import jax.numpy as jnp
+def tensor_contraction_sparse(tensors, steps, field=None):
+    """Eager convenience wrapper (reference-parity name): numpy in/out."""
+    from ..ops.field import make_field
 
-    return execute_sparse([jnp.asarray(t) for t in tensors], steps, precision)
+    field = field or make_field()
+    staged = [field.wrap(t) for t in tensors]
+    return field.unwrap(execute_sparse(staged, steps, field))
 
 
-def compile_sparse(steps, slicing_axes, num_sliced, output_shape,
-                   precision="highest", unroll=1):
+def compile_sparse(steps, slicing_axes, num_sliced, output_shape, field):
     """jit-compiled sparse contraction including the 2^k slice scan."""
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
-    from .executor import slice_select
+    from .executor import make_sliced_runner
 
-    def run(tensors, slice_ids=None, init=None):
-        if num_sliced == 0:
-            return execute_sparse(tensors, steps, precision)
-        ids = (jnp.arange(2 ** num_sliced, dtype=jnp.int32)
-               if slice_ids is None else slice_ids)
-
-        def body(acc, sid):
-            sliced = slice_select(tensors, slicing_axes, sid, num_sliced)
-            return acc + execute_sparse(sliced, steps, precision), None
-
-        if init is None:
-            init = jnp.zeros(output_shape, dtype=tensors[0].dtype)
-        acc, _ = lax.scan(body, init, ids, unroll=unroll)
-        return acc
-
-    return jax.jit(run)
+    return jax.jit(make_sliced_runner(
+        execute_sparse, steps, slicing_axes, num_sliced, output_shape, field))

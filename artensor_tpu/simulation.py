@@ -122,37 +122,42 @@ class TensorNetworkSimulation:
             perm = (0,) + tuple(p + 1 for p in perm)
         self.permute_dims = perm
 
-    def contraction(self, dtype=np.complex64, device=None, mesh=None):
-        """Execute the compiled plan; returns amplitudes as a jax array.
+    def contraction(self, dtype=np.complex64, mesh=None, precision="highest",
+                    mode="split"):
+        """Execute the compiled plan; returns amplitudes as a numpy array.
 
         'normal': tensor of shape (2,)*n_open in qubit order.
         'sparse': (len(bitstrings_sorted),) amplitude batch.
-        """
-        import jax.numpy as jnp
-        from .runtime import executor as ex
 
-        arrays = [jnp.asarray(self.tensors[i].astype(dtype))
+        ``mode``: 'split' (TPU-native (re, im) pairs, default) or 'complex'.
+        ``mesh``: optional jax mesh to shard the slice loop over.
+        """
+        from .ops.field import make_field
+        from .runtime import executor as ex
+        from .runtime.sparse import execute_sparse
+
+        field = make_field(dtype, precision, mode)
+        arrays = [field.wrap(self.tensors[i])
                   for i in range(len(self.tensors))]
+        k = len(self.slicing_bonds)
         if self.pattern == "normal":
             out_shape = (2,) * len(self.output_bonds)
-            if mesh is not None and len(self.slicing_bonds) > 0:
-                from .parallel import run_sliced_contraction
-                result = run_sliced_contraction(
-                    arrays, self.steps, self.slicing_axes,
-                    len(self.slicing_bonds), out_shape, mesh)
-            else:
-                run = ex.compile_dense(
-                    self.steps, self.slicing_axes, len(self.slicing_bonds),
-                    out_shape)
-                result = run(arrays)
+            execute = ex.execute_dense
         else:
-            from .runtime.sparse import compile_sparse
             out_shape = (len(self.bitstrings_sorted),) + \
                 (2,) * len(self.output_bonds)
-            run = compile_sparse(
-                self.steps, self.slicing_axes, len(self.slicing_bonds),
-                out_shape)
+            execute = execute_sparse
+        if mesh is not None:
+            from .parallel import run_sliced_contraction
+            result = run_sliced_contraction(
+                arrays, self.steps, self.slicing_axes, k, out_shape, mesh,
+                field=field, execute=execute)
+        else:
+            import jax
+            run = jax.jit(ex.make_sliced_runner(
+                execute, self.steps, self.slicing_axes, k, out_shape, field))
             result = run(arrays)
+        result = field.unwrap(result)
         if self.permute_dims:
             result = result.transpose(self.permute_dims)
         return result
@@ -178,8 +183,10 @@ def tensor_network_contraction(tensors, tensor_bonds, bond_dims, final_qubits,
                        if k in PlannerConfig.__dataclass_fields__})
     cfg = PlannerConfig(**cfg_kwargs)
     sim.prepare_contraction(cfg)
-    result = sim.contraction(dtype=dtype,
-                             mesh=kwargs.get("mesh"))
+    result = sim.contraction(
+        dtype=dtype, mesh=kwargs.get("mesh"),
+        precision=kwargs.get("precision", "highest"),
+        mode=kwargs.get("mode", "split"))
     out_bits = sim.bitstrings_sorted if pattern == "sparse" else []
     return result, out_bits
 

@@ -16,11 +16,14 @@ import jax.numpy as jnp  # noqa: E402
 from artensor_tpu.circuits import TensorNetworkCircuit
 from artensor_tpu.network import NumericalTensorNetwork
 from artensor_tpu.planner import find_order
+from artensor_tpu.ops.field import make_field
 from artensor_tpu.runtime import (
     build_slicing_axes,
     compile_dense,
     contraction_scheme,
 )
+
+FIELD = make_field(np.complex128, "highest", "split")
 
 REF_N12 = "/root/reference/tests/circuit_n12_m14_s0_e0_pEFGH.qsim"
 
@@ -52,8 +55,7 @@ def _plan_and_arrays(circuit, pattern="normal", sc_target=30, dtype=np.complex12
     tb2, fq2 = ntn.simplify(pattern)
     order, sliced, ctree = find_order(
         tb2, ntn.bond_dims, fq2, sc_target=sc_target, **PLAN_KW)
-    arrays = [jnp.asarray(ntn.tensors[i].astype(dtype))
-              for i in range(len(ntn.tensors))]
+    arrays = [FIELD.wrap(ntn.tensors[i]) for i in range(len(ntn.tensors))]
     return tb2, sliced, ctree, arrays
 
 
@@ -62,8 +64,8 @@ def test_dense_executor_matches_oracle():
     tb2, sliced, ctree, arrays = _plan_and_arrays(c)
     assert sliced == []
     steps, out_bonds = contraction_scheme(ctree)
-    run = compile_dense(steps, [], 0, (2,) * len(out_bonds))
-    result = np.asarray(run(arrays))
+    run = compile_dense(steps, [], 0, (2,) * len(out_bonds), FIELD)
+    result = FIELD.unwrap(run(arrays))
     perm = np.argsort([int(str(b).split("-")[1]) for b in out_bonds])
     got = result.transpose(perm).reshape(-1)
     want = c.state_vec().reshape(-1)
@@ -81,8 +83,8 @@ def test_closed_circuit_sliced_contraction():
     steps, out_bonds = contraction_scheme(ctree)
     assert out_bonds == []
     axes = build_slicing_axes(tb2, sliced)
-    run = compile_dense(steps, axes, len(sliced), ())
-    got = complex(run(arrays))
+    run = compile_dense(steps, axes, len(sliced), (), FIELD)
+    got = complex(FIELD.unwrap(run(arrays)))
     assert abs(got - complex(want)) < 1e-10
 
 
@@ -98,9 +100,10 @@ def test_sharded_slices_match_single_device():
     assert 2 ** k >= 8, "need at least one slice per device"
     steps, _ = contraction_scheme(ctree)
     axes = build_slicing_axes(tb2, sliced)
-    single = complex(compile_dense(steps, axes, k, ())(arrays))
+    single = complex(FIELD.unwrap(compile_dense(steps, axes, k, (), FIELD)(arrays)))
     mesh = make_mesh(8)
-    sharded = complex(run_sliced_contraction(arrays, steps, axes, k, (), mesh))
+    sharded = complex(FIELD.unwrap(
+        run_sliced_contraction(arrays, steps, axes, k, (), mesh, field=FIELD)))
     assert abs(single - sharded) < 1e-10
     assert abs(single - complex(c.state_vec())) < 1e-12
 
