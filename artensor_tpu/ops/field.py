@@ -67,7 +67,50 @@ class SplitField:
         z = jnp.zeros(shape, dtype=self.rdtype)
         return z, z
 
+    def matmul(self, a, b):
+        """Batched matmul on (B, M, K) x (B, K, N) physical operands."""
+        return self.dot(a, b, (((2,), (1,)), ((0,), (0,))))
+
+    def dot(self, a, b, dnums):
+        """General dot_general (multi-dim batch/contract) on split pairs."""
+        ar, ai = a
+        br, bi = b
+        mm = lambda x, y: lax.dot_general(
+            x, y, dnums, precision=self.precision,
+            preferred_element_type=self.rdtype)
+        if self.algo == "naive":
+            return mm(ar, br) - mm(ai, bi), mm(ar, bi) + mm(ai, br)
+        t1 = mm(ar, br)
+        t2 = mm(ai, bi)
+        t3 = mm(ar + ai, br + bi)
+        return t1 - t2, t3 - t1 - t2
+
     # -- structural ops ---------------------------------------------------
+    def regroup(self, x, dims, perm, final_shape):
+        """reshape(dims) -> transpose(perm) -> reshape(final_shape).
+
+        The high-rank logical view exists only transiently; XLA lowers this
+        chain to one copy between flat layouts.
+        """
+        identity = perm == tuple(range(len(perm)))
+
+        def one(c):
+            c = c.reshape(dims)
+            if not identity:
+                c = c.transpose(perm)
+            return c.reshape(final_shape)
+
+        return tuple(one(c) for c in x)
+
+    def index_logical(self, x, dims, axis, idx, out_shape):
+        """Select index ``idx`` of logical ``axis`` on flat-stored ``x``."""
+        def one(c):
+            c = lax.dynamic_index_in_dim(
+                c.reshape(dims), idx, axis=axis, keepdims=False)
+            return c.reshape(out_shape)
+
+        return tuple(one(c) for c in x)
+
     def index(self, x, idx, axis):
         return tuple(lax.dynamic_index_in_dim(c, idx, axis=axis, keepdims=False)
                      for c in x)
@@ -115,6 +158,24 @@ class ComplexField:
 
     def zeros(self, shape):
         return jnp.zeros(shape, dtype=self.dtype)
+
+    def matmul(self, a, b):
+        return self.dot(a, b, (((2,), (1,)), ((0,), (0,))))
+
+    def dot(self, a, b, dnums):
+        return lax.dot_general(a, b, dnums, precision=self.precision,
+                               preferred_element_type=self.dtype)
+
+    def regroup(self, x, dims, perm, final_shape):
+        x = x.reshape(dims)
+        if perm != tuple(range(len(perm))):
+            x = x.transpose(perm)
+        return x.reshape(final_shape)
+
+    def index_logical(self, x, dims, axis, idx, out_shape):
+        x = lax.dynamic_index_in_dim(
+            x.reshape(dims), idx, axis=axis, keepdims=False)
+        return x.reshape(out_shape)
 
     def index(self, x, idx, axis):
         return lax.dynamic_index_in_dim(x, idx, axis=axis, keepdims=False)

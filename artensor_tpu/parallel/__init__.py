@@ -21,6 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.field import make_field
 from ..runtime.executor import execute_dense, make_sliced_runner
+from ..runtime.lowering import physical_shape
 
 
 def make_mesh(n_devices=None, axis_name="slice", devices=None):
@@ -62,7 +63,7 @@ def run_sliced_contraction(tensors, steps, slicing_axes, num_sliced,
     def worker(local_ids, *arrays):
         # the accumulator varies per device (different slice chunks):
         # mark it varying over the mesh axis for the scan carry
-        init = field.pvary(field.zeros(output_shape), axis_name)
+        init = field.pvary(field.zeros(physical_shape(output_shape)), axis_name)
         partial_acc = run(list(arrays), local_ids.reshape(-1), init=init)
         return field.psum(partial_acc, axis_name)
 

@@ -18,73 +18,91 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.field import make_field
+from .lowering import apply_lowered, physical_shape
+
+
+def stage_tensors(field, arrays):
+    """Stage numpy payloads on device in flat physical form."""
+    out = []
+    for a in arrays:
+        x = field.wrap(a)
+        out.append(field.reshape(x, physical_shape(a.shape)))
+    return out
+
+
+def apply_dense_step(field, x, y, s):
+    return apply_lowered(field, x, y, s.lowered)
 
 
 def execute_dense(tensors, steps, field):
-    """Run dense scheme ``steps`` over staged field tensors (traceable)."""
+    """Run dense scheme ``steps`` over staged (flat) field tensors."""
     bufs = list(tensors)
     last = 0
     for s in steps:
-        bufs[s.i] = field.einsum(bufs[s.i], bufs[s.j], s.ix_i, s.ix_j, s.iy)
+        bufs[s.i] = apply_lowered(field, bufs[s.i], bufs[s.j], s.lowered)
         bufs[s.j] = None  # free for XLA liveness
         last = s.i
     return bufs[last]
 
 
 def tensor_contraction(tensors, steps, field=None):
-    """Eager convenience wrapper (reference-parity name): numpy in/out."""
+    """Eager convenience wrapper (reference-parity name): numpy in/out,
+    logically shaped result."""
     field = field or make_field()
-    staged = [field.wrap(t) for t in tensors]
-    return field.unwrap(execute_dense(staged, steps, field))
+    staged = stage_tensors(field, [__import__("numpy").asarray(t) for t in tensors])
+    out = field.unwrap(execute_dense(staged, steps, field))
+    return out.reshape(steps[-1].lowered.dims_y)
 
 
 def slice_select(tensors, slicing_axes, slice_id, num_sliced, field):
     """Select one slice configuration (traceable).
 
     ``slicing_axes``: list over sliced bonds (MSB-first like the reference's
-    ``np.binary_repr`` convention) of lists of (tensor_id, axis).  Axes are
-    pre-adjusted by :func:`build_slicing_axes` for the axis shifts caused by
-    earlier selections on the same tensor.
+    ``np.binary_repr`` convention) of entries
+    (tensor_id, logical_axis, logical_dims_before, physical_shape_after),
+    precomputed by :func:`build_slicing_axes`.
     """
     bufs = list(tensors)
     k = num_sliced
-    for x, pairs in enumerate(slicing_axes):
+    for x, entries in enumerate(slicing_axes):
         bit = (slice_id >> (k - 1 - x)) & 1
-        for tid, ax in pairs:
-            bufs[tid] = field.index(bufs[tid], bit, ax)
+        for tid, ax, dims, phys in entries:
+            bufs[tid] = field.index_logical(bufs[tid], dims, ax, bit, phys)
     return bufs
 
 
-def build_slicing_axes(tensor_bonds, slicing_bonds, batched_tensors=()):
-    """Compute static (tensor_id, axis) selections for each sliced bond.
+def build_slicing_axes(tensor_bonds, slicing_bonds, batched_tensors=(),
+                       bond_dims=None, batch_dim=2):
+    """Compute static slice-selection specs for each sliced bond.
 
     ``tensor_bonds`` is the UNSLICED bond mapping (all bonds present).
     ``batched_tensors``: ids whose payload carries a leading amplitude-batch
-    axis (sparse-mode final-qubit tensors) — their bond axes shift by one.
-    Axes are adjusted for earlier selections on the same tensor, fixing the
-    reference's latent axis-shift bug when one tensor carries two sliced
-    bonds (simulation.py:60-65 computes indices against the original layout
-    but applies them sequentially).
+    axis (sparse-mode final-qubit tensors).  Each spec entry carries the
+    logical dims at selection time, so sequential selections on one tensor
+    stay consistent (the reference computes indices against the original
+    layout but applies them sequentially — a latent axis-shift bug,
+    simulation.py:60-65).
     """
     batched = set(batched_tensors)
-    per_tensor = {}
+    bond_dims = bond_dims or {}
+    state = {}
+    specs = [[] for _ in slicing_bonds]
     for x, bond in enumerate(slicing_bonds):
         for tid, bonds in tensor_bonds.items():
             if bond in bonds:
-                off = 1 if tid in batched else 0
-                per_tensor.setdefault(tid, []).append(
-                    (x, bonds.index(bond) + off))
-    slicing_axes = [[] for _ in slicing_bonds]
-    for tid, pairs in per_tensor.items():
-        # selections happen in bond order x; adjust each axis for the axes
-        # of the same tensor already removed by earlier bonds
-        pairs.sort(key=lambda p: p[0])
-        applied = []
-        for x, ax in pairs:
-            shift = sum(1 for r in applied if r < ax)
-            slicing_axes[x].append((tid, ax - shift))
-            applied.append(ax)
-    return slicing_axes
+                if tid not in state:
+                    cur = (["#batch"] if tid in batched else []) + list(bonds)
+                    dims = [batch_dim if b == "#batch"
+                            else int(bond_dims.get(b, 2)) for b in cur]
+                    state[tid] = (cur, dims)
+                cur, dims = state[tid]
+                ax = cur.index(bond)
+                dims_before = tuple(dims)
+                cur.pop(ax)
+                dims.pop(ax)
+                specs[x].append(
+                    (tid, ax, dims_before, physical_shape(tuple(dims))))
+    return specs
 
 
 def make_sliced_runner(execute, steps, slicing_axes, num_sliced, output_shape,
@@ -92,8 +110,11 @@ def make_sliced_runner(execute, steps, slicing_axes, num_sliced, output_shape,
     """Traceable fn: tensors -> sum over slices of ``execute(sliced, steps)``.
 
     Shared by the dense and sparse paths; the slice loop is a scan so the
-    compiled program is O(steps), not O(steps * 2^k).
+    compiled program is O(steps), not O(steps * 2^k).  ``output_shape`` is
+    LOGICAL; the accumulator/result use the flat physical form.
     """
+    phys_out = physical_shape(output_shape)
+
     def run(tensors, slice_ids=None, init=None):
         if num_sliced == 0:
             return execute(tensors, steps, field)
@@ -105,7 +126,7 @@ def make_sliced_runner(execute, steps, slicing_axes, num_sliced, output_shape,
             return field.add(acc, execute(sliced, steps, field)), None
 
         if init is None:
-            init = field.zeros(output_shape)
+            init = field.zeros(phys_out)
         acc, _ = lax.scan(body, init, ids, unroll=unroll)
         return acc
 

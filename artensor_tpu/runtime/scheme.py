@@ -2,16 +2,19 @@
 
 A scheme is a plain-Python list of step descriptors — fully determined at
 compile (host) time, so the executors trace once under ``jax.jit`` with
-every shape, axis order, and gather index static.  This mirrors the
-reference's design split (compile: /root/reference/artensor/
-contraction.py:23-59, 208-341) while emitting integer-sublist einsum labels
-instead of capped letter equations.
+every shape, axis order, and gather index static.  Each step also carries
+its precomputed matmul lowering (runtime/lowering.py): on TPU, tensors are
+stored flat and contracted as (B, M, K) x (B, K, N) batched matmuls, never
+materializing high-rank ``[2]*n`` buffers.
 
-Dense step:   DenseStep(i, j, ix_i, ix_j, iy)
-  contract buffer j into buffer i; ix/iy are per-step integer label lists.
+This mirrors the reference's compile/execute split (/root/reference/
+artensor/contraction.py:23-59) while emitting integer labels instead of
+capped letter equations.
 """
 
 from dataclasses import dataclass
+
+from .lowering import Lowered, lower_step, preferred_output_order
 
 
 @dataclass(frozen=True)
@@ -21,6 +24,9 @@ class DenseStep:
     ix_i: tuple
     ix_j: tuple
     iy: tuple
+    dims_i: tuple
+    dims_j: tuple
+    lowered: Lowered
 
 
 def _relabel(ix_i, ix_j, iy):
@@ -54,6 +60,13 @@ def internal_nodes_in_execution_order(ctree):
     return out
 
 
+def make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j):
+    ix_i2, ix_j2, iy2 = _relabel(ix_i, ix_j, iy)
+    low = lower_step(ix_i2, ix_j2, iy2, tuple(dims_i), tuple(dims_j))
+    return DenseStep(i, j, ix_i2, ix_j2, iy2,
+                     tuple(dims_i), tuple(dims_j), low)
+
+
 def contraction_scheme(ctree):
     """Dense (full-amplitude) scheme.
 
@@ -62,6 +75,7 @@ def contraction_scheme(ctree):
     produce.
     """
     tn = ctree.tn
+    dims = {b: int(d) for b, d in tn.bond_dims.items()}
     bond_order = {}  # id(node) -> tuple of bond labels of its result axes
     steps = []
     output_bonds = ()
@@ -71,15 +85,19 @@ def contraction_scheme(ctree):
                 bond_order[id(child)] = tuple(tn.tensor_bonds[child.leaf_id])
         ix_left = bond_order[id(v.left)]
         ix_right = bond_order[id(v.right)]
-        iy = tuple(v.boundary.keys())
-        bond_order[id(v)] = iy
         if v.rep == v.left.rep:
             i, j = v.left.rep, v.right.rep
             ix_i, ix_j = ix_left, ix_right
         else:
             i, j = v.right.rep, v.left.rep
             ix_i, ix_j = ix_right, ix_left
-        steps.append(DenseStep(i, j, *_relabel(ix_i, ix_j, iy)))
+        # output order = the dot_general's natural order: zero transposes
+        iy = preferred_output_order(ix_i, ix_j, set(v.boundary.keys()))
+        assert set(iy) == set(v.boundary.keys())
+        bond_order[id(v)] = iy
+        steps.append(make_dense_step(
+            i, j, ix_i, ix_j, iy,
+            [dims[b] for b in ix_i], [dims[b] for b in ix_j]))
         if v is ctree.root:
             output_bonds = iy
     return steps, list(output_bonds)

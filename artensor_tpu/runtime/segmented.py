@@ -15,25 +15,8 @@ compiled segments, so compilation happens once).
 import jax
 import numpy as np
 
-
-def apply_dense_step(field, x, y, step):
-    return field.einsum(x, y, step.ix_i, step.ix_j, step.iy)
-
-
-def apply_sparse_step(field, x, y, step):
-    if step.gathers is not None:
-        parts = [
-            field.einsum(field.take(x, gi, axis=0), field.take(y, gj, axis=0),
-                         step.ix_i, step.ix_j, step.iy)
-            for gi, gj in step.gathers
-        ]
-        return parts[0] if len(parts) == 1 else field.concat(parts, axis=0)
-    out = field.einsum(x, y, step.ix_i, step.ix_j, step.iy)
-    if step.reshape is not None:
-        out = field.reshape(out, step.reshape)
-    if step.post_select is not None:
-        out = field.take(out, step.post_select, axis=0)
-    return out
+from .executor import apply_dense_step
+from .sparse import apply_sparse_step
 
 
 def _segment_io(segments, n_bufs):

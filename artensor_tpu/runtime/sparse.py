@@ -31,6 +31,8 @@ from math import ceil, log2
 
 import numpy as np
 
+from .lowering import lower_step
+
 
 @dataclass(frozen=True)
 class SparseStep:
@@ -40,8 +42,10 @@ class SparseStep:
     ix_j: tuple
     iy: tuple
     gathers: tuple | None    # aligned: ((gi, gj), ...) chunked index arrays
-    reshape: tuple | None    # cross: merge split batch axes after einsum
+    reshape: tuple | None    # cross: physical (B_total, rest) after batch merge
     post_select: object      # cross: row-index array or None
+    lowered: object          # Lowered (non-chunked) or None
+    lowered_chunks: tuple | None  # aligned: one Lowered per chunk
 
 
 def _bits_to_ints(bits):
@@ -90,6 +94,7 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
     """
     order = ctree.to_order_dfs()
     tn = ctree.tn
+    dim_of = {b: int(d) for b, d in tn.bond_dims.items()}
     bonds = {t: list(bs) for t, bs in tn.tensor_bonds.items()}
     final_qubits = list(tn.final_qubits)
     if isinstance(tn.final_qubits, (set, frozenset)):
@@ -129,15 +134,20 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
         post_select = None
         batched_i, batched_j = len(q_i) > 0, len(q_j) > 0
 
+        dims_bi = [dim_of[b] for b in bond_i]
+        dims_bj = [dim_of[b] for b in bond_j]
         if not batched_i and not batched_j:
             rep = np.array([-1], dtype=np.int64)
             ix_i, ix_j, iy = tuple(bond_i), tuple(bond_j), tuple(new_bonds)
+            dims_i, dims_j = tuple(dims_bi), tuple(dims_bj)
         elif batched_i != batched_j:
             rep = rep_i if batched_i else rep_j
             B = "batch"
             ix_i = (B, *bond_i) if batched_i else tuple(bond_i)
             ix_j = (B, *bond_j) if batched_j else tuple(bond_j)
             iy = (B, *new_bonds)
+            dims_i = (len(rep_i), *dims_bi) if batched_i else tuple(dims_bi)
+            dims_j = (len(rep_j), *dims_bj) if batched_j else tuple(dims_bj)
         else:
             loc_i = [merged_q.index(q) for q in q_i]
             loc_j = [merged_q.index(q) for q in q_j]
@@ -163,7 +173,14 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
                 BI, BJ = "batch_i", "batch_j"
                 ix_i, ix_j = (BI, *bond_i), (BJ, *bond_j)
                 iy = (BI, BJ, *new_bonds)
-                reshape = (-1,) + (2,) * len(new_bonds)
+                dims_i = (len(rep_i), *dims_bi)
+                dims_j = (len(rep_j), *dims_bj)
+                rest = 1
+                for b in new_bonds:
+                    rest *= dim_of[b]
+                # physical 2-D target merging the two batch axes (left-major)
+                reshape = ((len(rep_i) * len(rep_j), rest)
+                           if new_bonds else (len(rep_i) * len(rep_j),))
             else:
                 # ---- aligned-gather regime ----------------------------
                 part_i = _bits_to_ints(sub[:, loc_i])
@@ -192,10 +209,21 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
                 Bl = "batch"
                 ix_i, ix_j = (Bl, *bond_i), (Bl, *bond_j)
                 iy = (Bl, *new_bonds)
+                dims_i = dims_j = None  # chunked: dims vary per chunk
 
         ix_i, ix_j, iy = _relabel(ix_i, ix_j, iy)
+        if gathers is not None:
+            lowered = None
+            lowered_chunks = tuple(
+                lower_step(ix_i, ix_j, iy,
+                           (len(gi), *dims_bi), (len(gi), *dims_bj))
+                for gi, gj in gathers)
+        else:
+            lowered = lower_step(ix_i, ix_j, iy, dims_i, dims_j)
+            lowered_chunks = None
         steps.append(SparseStep(i, j, ix_i, ix_j, iy,
-                                gathers, reshape, post_select))
+                                gathers, reshape, post_select,
+                                lowered, lowered_chunks))
         info[i] = (merged_q, rep)
         last = i
 
@@ -205,26 +233,31 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
     return steps, bonds[last], bitstrings_sorted
 
 
+def apply_sparse_step(field, x, y, s):
+    """One sparse step on flat-stored field tensors (traceable)."""
+    from .lowering import apply_lowered
+
+    if s.gathers is not None:
+        parts = [
+            apply_lowered(field, field.take(x, gi, axis=0),
+                          field.take(y, gj, axis=0), low)
+            for (gi, gj), low in zip(s.gathers, s.lowered_chunks)
+        ]
+        return parts[0] if len(parts) == 1 else field.concat(parts, axis=0)
+    out = apply_lowered(field, x, y, s.lowered)
+    if s.reshape is not None:
+        out = field.reshape(out, s.reshape)
+    if s.post_select is not None:
+        out = field.take(out, s.post_select, axis=0)
+    return out
+
+
 def execute_sparse(tensors, steps, field):
-    """Run a sparse scheme over staged field tensors (traceable)."""
+    """Run a sparse scheme over staged (flat) field tensors (traceable)."""
     bufs = list(tensors)
     last = 0
     for s in steps:
-        x, y = bufs[s.i], bufs[s.j]
-        if s.gathers is not None:
-            parts = [
-                field.einsum(field.take(x, gi, axis=0), field.take(y, gj, axis=0),
-                             s.ix_i, s.ix_j, s.iy)
-                for gi, gj in s.gathers
-            ]
-            out = parts[0] if len(parts) == 1 else field.concat(parts, axis=0)
-        else:
-            out = field.einsum(x, y, s.ix_i, s.ix_j, s.iy)
-            if s.reshape is not None:
-                out = field.reshape(out, s.reshape)
-            if s.post_select is not None:
-                out = field.take(out, s.post_select, axis=0)
-        bufs[s.i] = out
+        bufs[s.i] = apply_sparse_step(field, bufs[s.i], bufs[s.j], s)
         bufs[s.j] = None
         last = s.i
     return bufs[last]

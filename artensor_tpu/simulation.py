@@ -137,8 +137,8 @@ class TensorNetworkSimulation:
         from .runtime.sparse import execute_sparse
 
         field = make_field(dtype, precision, mode)
-        arrays = [field.wrap(self.tensors[i])
-                  for i in range(len(self.tensors))]
+        arrays = ex.stage_tensors(
+            field, [self.tensors[i] for i in range(len(self.tensors))])
         k = len(self.slicing_bonds)
         if self.pattern == "normal":
             out_shape = (2,) * len(self.output_bonds)
@@ -157,7 +157,7 @@ class TensorNetworkSimulation:
             run = jax.jit(ex.make_sliced_runner(
                 execute, self.steps, self.slicing_axes, k, out_shape, field))
             result = run(arrays)
-        result = field.unwrap(result)
+        result = field.unwrap(result).reshape(out_shape)
         if self.permute_dims:
             result = result.transpose(self.permute_dims)
         return result

@@ -55,7 +55,8 @@ def _plan_and_arrays(circuit, pattern="normal", sc_target=30, dtype=np.complex12
     tb2, fq2 = ntn.simplify(pattern)
     order, sliced, ctree = find_order(
         tb2, ntn.bond_dims, fq2, sc_target=sc_target, **PLAN_KW)
-    arrays = [FIELD.wrap(ntn.tensors[i]) for i in range(len(ntn.tensors))]
+    from artensor_tpu.runtime.executor import stage_tensors
+    arrays = stage_tensors(FIELD, [ntn.tensors[i] for i in range(len(ntn.tensors))])
     return tb2, sliced, ctree, arrays
 
 
@@ -65,7 +66,7 @@ def test_dense_executor_matches_oracle():
     assert sliced == []
     steps, out_bonds = contraction_scheme(ctree)
     run = compile_dense(steps, [], 0, (2,) * len(out_bonds), FIELD)
-    result = FIELD.unwrap(run(arrays))
+    result = FIELD.unwrap(run(arrays)).reshape((2,) * len(out_bonds))
     perm = np.argsort([int(str(b).split("-")[1]) for b in out_bonds])
     got = result.transpose(perm).reshape(-1)
     want = c.state_vec().reshape(-1)
@@ -84,7 +85,7 @@ def test_closed_circuit_sliced_contraction():
     assert out_bonds == []
     axes = build_slicing_axes(tb2, sliced)
     run = compile_dense(steps, axes, len(sliced), (), FIELD)
-    got = complex(FIELD.unwrap(run(arrays)))
+    got = complex(FIELD.unwrap(run(arrays)).reshape(()))
     assert abs(got - complex(want)) < 1e-10
 
 
@@ -111,11 +112,16 @@ def test_sharded_slices_match_single_device():
 def test_build_slicing_axes_shared_tensor():
     # one tensor carrying two sliced bonds: later axes must shift
     tb = {0: ["a", "b", "c"], 1: ["a"], 2: ["b"], 3: ["c"]}
-    axes = build_slicing_axes(tb, ["a", "c"])
-    # bond 'a': tensor0 axis 0, tensor1 axis 0
-    assert (0, 0) in axes[0] and (1, 0) in axes[0]
+    specs = build_slicing_axes(tb, ["a", "c"])
+    entries0 = {(t, ax): dims for t, ax, dims, _ in specs[0]}
+    entries1 = {(t, ax): dims for t, ax, dims, _ in specs[1]}
+    # bond 'a': tensor0 axis 0 (dims pre-removal (2,2,2)), tensor1 axis 0
+    assert entries0[(0, 0)] == (2, 2, 2) and (1, 0) in entries0
     # bond 'c': tensor0's axis 2 shifts to 1 after 'a' was removed
-    assert (0, 1) in axes[1] and (3, 0) in axes[1]
+    assert entries1[(0, 1)] == (2, 2) and (3, 0) in entries1
+    # physical shapes after removal are flat 2-D / 1-D
+    phys = {t: p for t, ax, d, p in specs[1]}
+    assert phys[0] == (2,)
     # numeric check: select bits (1, 0) both ways
     x = np.arange(8).reshape(2, 2, 2)
     got = x[1][:, 0]  # slice a=1 then c=0 with shifted axis
