@@ -1,33 +1,39 @@
-"""Lower label-einsum steps onto flat multi-dim dot_generals (the MXU path).
+"""Lower label-einsum steps onto multi-dim dot_generals over flat storage.
 
-TPU HBM layouts tile the two trailing axes to (sublane, lane) = (8, 128), so
-high-rank ``[2]*n`` buffers are catastrophically padded and the compiler
-refuses / OOMs on rank-20+ einsums and on transposes whose minor output dim
-is small.  Measured on this stack:
+TPU HBM layouts tile the two trailing axes to (sublane, lane) = (8, 128).
+High-rank ``[2]*n`` buffers are catastrophically padded; failure modes
+measured on this stack:
 
-  * rank-20 einsum on [2]*20 operands: never finishes compiling
-  * rank-9+ explicit transposes of 2^28 with small minor dims: compiler OOM
-    ("Allocation 64GB would exceed memory" — tile padding)
-  * the SAME contraction as one dot_general with multiple batch/contracting
-    dims of size 2-16 on run-collapsed operands: compiles in seconds — XLA
-    owns the layout choice end-to-end and never materializes a padded
-    high-rank buffer.
+  * a single rank-20 einsum on [2]*20 operands never finishes compiling;
+  * explicit device transposes of 2^26+ buffers plan 64GB padded copies
+    whenever XLA's layout propagation lands small dims minor;
+  * 2-D views with a small minor dim (e.g. (2^27, 2)) pad 64x even as
+    reshapes;
+  * but ONE lax.dot_general with multi-dim batch/contract dimension_numbers
+    over run-collapsed operands compiles in seconds and lets the MXU path
+    handle the interleaving internally;
+  * and 1-D element gathers with in-trace iota-computed indices always
+    compile (no index constants — a 2^26 baked index array overflows the
+    remote-compile request size).
 
-Therefore: intermediates live FLAT (physical shape ``(first_logical_dim,
-rest)``), each step reshapes its operands to *class-grouped* dims (adjacent
-axes of the same class — batch/contract/free — merged, with batch and
-contract groupings refined to agree across both operands) and issues ONE
-``lax.dot_general`` with multi-dim dimension_numbers.  No input transposes
-exist at all.  The produced label order is ``batch + lhs-free + rhs-free``;
-schemes adopt it as the node's output order whenever they can, so output
-transposes only remain where semantics force a fixed order (sparse
-cross-regime batch merging); those pick the operand orientation that leaves
-the largest minor run.
+Design:
+  * Intermediates live FLAT: physical shape (first_logical_dim, rest).
+  * Operands are NEVER reordered: each step reshapes them to class-grouped
+    dims (adjacent same-class axes merged; batch/contract groupings refined
+    to agree across operands) and issues one multi-dim dot_general.
+  * The produced label order (batch + lhs-free + rhs-free) becomes the
+    node's output order wherever the scheme allows — so most steps have no
+    data movement beyond the dot itself.  Forced output reorders (sparse
+    cross-regime batch merges) run as small transposes or, when big, 1-D
+    element gathers.
 """
 
 from dataclasses import dataclass
 from functools import reduce
 from operator import mul
+
+# above this element count, explicit device transposes are banned
+TRANSPOSE_MAX_ELEMS = 1 << 24
 
 
 def _prod(xs):
@@ -58,29 +64,80 @@ def collapse_runs(dims, perm):
     return gdims, gperm
 
 
+# -- output reorders ------------------------------------------------------
+
+@dataclass(frozen=True)
+class Reorder:
+    """One axis-permutation of a flat-stored tensor."""
+
+    mode: str            # 'transpose' | 'gather'
+    dims: tuple          # run-collapsed logical dims (source order)
+    perm: tuple          # run-collapsed permutation
+    final_shape: tuple   # reshape after the permutation
+
+
+def plan_reorder(label_dims, perm_labels, final_shape):
+    dims, perm = collapse_runs(tuple(label_dims), tuple(perm_labels))
+    mode = "transpose" if _prod(dims) <= TRANSPOSE_MAX_ELEMS else "gather"
+    return Reorder(mode, dims, perm, tuple(final_shape))
+
+
+def _element_indices(dims, perm):
+    """Element-permutation indices computed in-trace from iota (no host
+    constants; ~2 integer VPU ops per collapsed axis)."""
+    import jax.numpy as jnp
+
+    n = len(dims)
+    in_strides = [1] * n
+    for a in range(n - 2, -1, -1):
+        in_strides[a] = in_strides[a + 1] * dims[a + 1]
+    out_sizes = [dims[p] for p in perm]
+    total = _prod(dims)
+    iota = jnp.arange(total, dtype=jnp.int32)
+    idx = jnp.zeros_like(iota)
+    stride_out = total
+    for t in range(n):
+        stride_out //= out_sizes[t]
+        digit = (iota // stride_out) % out_sizes[t]
+        idx = idx + digit * in_strides[perm[t]]
+    return idx
+
+
+def apply_reorder(field, x, r):
+    if r.mode == "transpose":
+        return field.regroup(x, r.dims, r.perm, r.final_shape)
+    idx = _element_indices(r.dims, r.perm)
+    flat = field.reshape(x, (idx.shape[0],))
+    return field.reshape(field.take(flat, idx, axis=0), r.final_shape)
+
+
+# -- step lowering --------------------------------------------------------
+
 @dataclass(frozen=True)
 class Lowered:
-    swapped: bool          # operands passed to the dot as (y, x)
-    shape_l: tuple         # grouped reshape dims for the lhs operand
+    swapped: bool        # operands passed to the dot as (y, x)
+    shape_l: tuple       # class-grouped reshape dims for the lhs operand
     shape_r: tuple
-    dnums: tuple           # lax.dot_general dimension_numbers
-    out_label_dims: tuple  # dot output dims at per-label granularity
-    out_dims: tuple | None   # run-collapsed transpose dims (if out_perm)
-    out_perm: tuple | None   # run-collapsed produced -> iy permutation
-    dims_y: tuple          # logical output dims (iy order)
-    phys_y: tuple          # physical output shape
+    dnums: tuple         # lax.dot_general dimension_numbers (multi-dim)
+    re_out: Reorder | None  # output reorder to iy order (None if natural)
+    dims_y: tuple        # logical output dims (iy order)
+    phys_y: tuple        # physical output shape
+
+
+def preferred_output_order(ix_i, ix_j, iy_set):
+    """Transpose-free output label order: batch + i-free + j-free."""
+    set_i, set_j = set(ix_i), set(ix_j)
+    batch = [l for l in ix_i if l in iy_set and l in set_j]
+    free_i = [l for l in ix_i if l in iy_set and l not in set_j]
+    free_j = [l for l in ix_j if l in iy_set and l not in set_i]
+    return tuple(batch + free_i + free_j)
 
 
 def _grouping(ix, classes, mergeable):
-    """Group adjacent same-class axes of one operand.
-
-    ``mergeable(a, b)`` gates merging for batch/contract classes (both
-    operands must agree); free axes merge whenever adjacent.
-    Returns (group_dims_positions, groups) where groups is a list of
-    (class, [labels]).
-    """
+    """Group adjacent same-class axes of one operand; batch/contract groups
+    merge only when both operands agree (``mergeable``)."""
     groups = []
-    for k, lab in enumerate(ix):
+    for lab in ix:
         cls = classes[lab]
         if (groups and groups[-1][0] == cls
                 and (cls == "free" or mergeable(groups[-1][1][-1], lab))):
@@ -90,7 +147,7 @@ def _grouping(ix, classes, mergeable):
     return groups
 
 
-def _build(ix_l, ix_r, dims_l, dims_r, iy, classes, l_is_i):
+def _build(ix_l, ix_r, dims_l, dims_r, classes):
     dim_of = {}
     for lab, d in zip(ix_l, dims_l):
         dim_of[lab] = d
@@ -107,7 +164,6 @@ def _build(ix_l, ix_r, dims_l, dims_r, iy, classes, l_is_i):
     groups_r = _grouping(ix_r, classes, mergeable)
     shape_l = tuple(_prod(dim_of[x] for x in labs) for _, labs in groups_l)
     shape_r = tuple(_prod(dim_of[x] for x in labs) for _, labs in groups_r)
-    # canonical batch/contract group order: appearance in lhs
     key_l = {tuple(labs): k for k, (cls, labs) in enumerate(groups_l)}
     key_r = {tuple(labs): k for k, (cls, labs) in enumerate(groups_r)}
     batch_groups = [labs for cls, labs in groups_l if cls == "batch"]
@@ -122,23 +178,14 @@ def _build(ix_l, ix_r, dims_l, dims_r, iy, classes, l_is_i):
     produced = [x for g in batch_groups for x in g]
     produced += [x for cls, labs in groups_l if cls == "free" for x in labs]
     produced += [x for cls, labs in groups_r if cls == "free" for x in labs]
-    out_label_dims = tuple(dim_of[x] for x in produced)
-    return shape_l, shape_r, dnums, produced, out_label_dims, dim_of
-
-
-def _minor_run(dims, perm):
-    """Size of the run landing on the minor (last) axis after the transpose."""
-    if perm is None:
-        return float("inf")
-    return dims[perm[-1]]
+    return shape_l, shape_r, dnums, produced, dim_of
 
 
 def lower_step(ix_i, ix_j, iy, dims_i, dims_j):
     """Precompute the dot_general lowering of one step (host side).
 
-    ``iy`` fixes the output label order.  Tries both operand orientations
-    and keeps the one avoiding an output transpose, or whose transpose has
-    the largest minor run (tile-friendliness).
+    Tries both operand orientations; prefers one needing no output reorder,
+    else the one with the cheapest reorder.
     """
     iy = tuple(iy)
     set_i, set_j, set_y = set(ix_i), set(ix_j), set(iy)
@@ -153,35 +200,25 @@ def lower_step(ix_i, ix_j, iy, dims_i, dims_j):
     for swapped in (False, True):
         ix_l, ix_r = (ix_j, ix_i) if swapped else (ix_i, ix_j)
         dims_l, dims_r = (dims_j, dims_i) if swapped else (dims_i, dims_j)
-        shape_l, shape_r, dnums, produced, out_label_dims, dim_of = _build(
-            ix_l, ix_r, dims_l, dims_r, iy, classes, not swapped)
+        shape_l, shape_r, dnums, produced, dim_of = _build(
+            ix_l, ix_r, dims_l, dims_r, classes)
+        dims_y = tuple(dim_of[lab] for lab in iy)
+        phys_y = physical_shape(dims_y)
         if tuple(produced) == iy:
-            out_dims = out_perm = None
+            re_out, cost = None, 0
         else:
             prod_pos = {lab: k for k, lab in enumerate(produced)}
-            perm = tuple(prod_pos[lab] for lab in iy)
-            out_dims, out_perm = collapse_runs(out_label_dims, perm)
-        dims_y = tuple(dim_of[lab] for lab in iy)
-        cand = Lowered(swapped, shape_l, shape_r, dnums,
-                       out_label_dims, out_dims, out_perm,
-                       dims_y, physical_shape(dims_y))
-        score = _minor_run(out_dims, out_perm)
-        if best is None or score > best[0]:
-            best = (score, cand)
-        if out_perm is None:
-            break  # unswapped orientation with no transpose: take it
+            re_out = plan_reorder(
+                tuple(dim_of[lab] for lab in produced),
+                tuple(prod_pos[lab] for lab in iy), phys_y)
+            cost = (1 if re_out.mode == "transpose" else 8) * _prod(re_out.dims)
+        cand = Lowered(swapped, shape_l, shape_r, dnums, re_out,
+                       dims_y, phys_y)
+        if best is None or cost < best[0]:
+            best = (cost, cand)
+        if cost == 0:
+            break
     return best[1]
-
-
-def preferred_output_order(ix_i, ix_j, iy_set):
-    """The transpose-free output label order for a step (batch + i-free +
-    j-free, at label granularity).  Scheme compilers that may choose their
-    own output order should use this."""
-    set_i, set_j = set(ix_i), set(ix_j)
-    batch = [l for l in ix_i if l in iy_set and l in set_j]
-    free_i = [l for l in ix_i if l in iy_set and l not in set_j]
-    free_j = [l for l in ix_j if l in iy_set and l not in set_i]
-    return tuple(batch + free_i + free_j)
 
 
 def apply_lowered(field, x, y, low):
@@ -190,8 +227,6 @@ def apply_lowered(field, x, y, low):
     lg = field.reshape(l, low.shape_l)
     rg = field.reshape(r, low.shape_r)
     out = field.dot(lg, rg, low.dnums)
-    if low.out_perm is not None:
-        out = field.regroup(out, low.out_dims, low.out_perm, low.phys_y)
-    else:
-        out = field.reshape(out, low.phys_y)
-    return out
+    if low.re_out is not None:
+        return apply_reorder(field, out, low.re_out)
+    return field.reshape(out, low.phys_y)
