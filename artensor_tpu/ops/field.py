@@ -67,6 +67,14 @@ class SplitField:
         z = jnp.zeros(shape, dtype=self.rdtype)
         return z, z
 
+    def max_abs(self, x):
+        # max(|re|, |im|) is within sqrt(2) of the true complex magnitude —
+        # plenty for overflow-protection rescaling
+        return jnp.maximum(jnp.max(jnp.abs(x[0])), jnp.max(jnp.abs(x[1])))
+
+    def scale(self, x, s):
+        return x[0] * s, x[1] * s
+
     def matmul(self, a, b):
         """Batched matmul on (B, M, K) x (B, K, N) physical operands."""
         return self.dot(a, b, (((2,), (1,)), ((0,), (0,))))
@@ -158,6 +166,12 @@ class ComplexField:
 
     def zeros(self, shape):
         return jnp.zeros(shape, dtype=self.dtype)
+
+    def max_abs(self, x):
+        return jnp.max(jnp.abs(x))
+
+    def scale(self, x, s):
+        return x * s
 
     def matmul(self, a, b):
         return self.dot(a, b, (((2,), (1,)), ((0,), (0,))))

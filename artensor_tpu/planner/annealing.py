@@ -132,7 +132,12 @@ def simulate_annealing(tn, sc_target=-1, trials=10, iters=50,
             alpha,
         ))
     if parallel and trials > 1 and os.name == "posix":
-        ctx = mp.get_context("fork")
+        # fork is fastest, but forking after jax initialized its TPU client
+        # can wedge the child; fall back to spawn in that case (planner
+        # modules never import jax, so spawn workers stay lightweight)
+        import sys as _sys
+        method = "spawn" if "jax" in _sys.modules else "fork"
+        ctx = mp.get_context(method)
         with ctx.Pool(min(trials, os.cpu_count() or 1)) as pool:
             results = pool.map(_sa_worker, payloads)
     else:

@@ -1,0 +1,78 @@
+"""Observability: predicted-vs-achieved cost reporting.
+
+The planner's tc/sc/mc numbers ARE the performance model (the reference
+prints them and nothing else; SURVEY.md §5).  Here they become a structured
+report: predicted real FLOPs from the lowered steps, achieved wall clock,
+sustained throughput, and a census of data-movement modes — enough to see
+at a glance whether a plan runs at speed-of-light or is reorder-bound.
+"""
+
+import time
+from dataclasses import dataclass, field
+
+
+def step_flops(low, complex_algo="naive"):
+    """Real FLOPs of one lowered step (split-complex matmul counting)."""
+    from .lowering import _prod
+
+    # dot output dims: batch * lhs-free * rhs-free; contraction size from dnums
+    (cx, _cy), (bx, _by) = low.dnums
+    B = _prod(low.shape_l[d] for d in bx)
+    K = _prod(low.shape_l[d] for d in cx)
+    M = _prod(low.shape_l) // max(B * K, 1)
+    N = _prod(low.shape_r) // max(B * K, 1)
+    mults = 3 if complex_algo == "karatsuba" else 4
+    return 2 * B * M * N * K * mults
+
+
+def scheme_flops(steps, complex_algo="naive"):
+    total = 0
+    for s in steps:
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        for low in lows:
+            total += step_flops(low, complex_algo)
+    return total
+
+
+def reorder_census(steps):
+    census = {"none": 0, "transpose": 0, "gather": 0}
+    for s in steps:
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        for low in lows:
+            census[low.re_out.mode if low.re_out else "none"] += 1
+    return census
+
+
+@dataclass
+class ContractionReport:
+    """Filled by TensorNetworkSimulation.contraction(report=True)."""
+
+    predicted_flops: float = 0.0       # per full contraction (all slices)
+    wall_s: float = 0.0
+    compile_s: float = 0.0
+    num_slices: int = 1
+    num_steps: int = 0
+    reorders: dict = field(default_factory=dict)
+    tc: float = 0.0                    # planner log10 per-slice mul-adds
+    sc: float = 0.0
+
+    @property
+    def tflops(self):
+        return self.predicted_flops / self.wall_s / 1e12 if self.wall_s else 0.0
+
+    def summary(self):
+        return (f"{self.num_steps} steps x {self.num_slices} slices, "
+                f"predicted {self.predicted_flops:.3e} flops, wall "
+                f"{self.wall_s:.3f}s ({self.tflops:.2f} TFLOP/s), "
+                f"compile {self.compile_s:.1f}s, reorders {self.reorders}")
+
+
+class Timer:
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.time() - self.t0

@@ -123,7 +123,8 @@ class TensorNetworkSimulation:
         self.permute_dims = perm
 
     def contraction(self, dtype=np.complex64, mesh=None, precision="highest",
-                    mode="split"):
+                    mode="split", algo="naive", scientific_notation=False,
+                    checkpoint_path=None, report=None):
         """Execute the compiled plan; returns amplitudes as a numpy array.
 
         'normal': tensor of shape (2,)*n_open in qubit order.
@@ -131,35 +132,72 @@ class TensorNetworkSimulation:
 
         ``mode``: 'split' (TPU-native (re, im) pairs, default) or 'complex'.
         ``mesh``: optional jax mesh to shard the slice loop over.
+        ``scientific_notation``: renormalize every intermediate, returning
+          (amplitudes, log10_factor) — true values = amps * 10**factor.
+        ``checkpoint_path``: persist partial slice sums for resume.
+        ``report``: a runtime.metrics.ContractionReport to fill in.
         """
+        import jax
+
         from .ops.field import make_field
         from .runtime import executor as ex
-        from .runtime.sparse import execute_sparse
+        from .runtime import metrics as mt
+        from .runtime.segmented import apply_dense_step
+        from .runtime.sparse import apply_sparse_step, execute_sparse
 
-        field = make_field(dtype, precision, mode)
+        field = make_field(dtype, precision, mode, algo)
         arrays = ex.stage_tensors(
             field, [self.tensors[i] for i in range(len(self.tensors))])
         k = len(self.slicing_bonds)
         if self.pattern == "normal":
             out_shape = (2,) * len(self.output_bonds)
             execute = ex.execute_dense
+            apply_step = apply_dense_step
         else:
             out_shape = (len(self.bitstrings_sorted),) + \
                 (2,) * len(self.output_bonds)
             execute = execute_sparse
-        if mesh is not None:
-            from .parallel import run_sliced_contraction
-            result = run_sliced_contraction(
-                arrays, self.steps, self.slicing_axes, k, out_shape, mesh,
-                field=field, execute=execute)
-        else:
-            import jax
-            run = jax.jit(ex.make_sliced_runner(
-                execute, self.steps, self.slicing_axes, k, out_shape, field))
-            result = run(arrays)
-        result = field.unwrap(result).reshape(out_shape)
+            apply_step = apply_sparse_step
+
+        factor = None
+        with mt.Timer() as wall:
+            if scientific_notation:
+                from .runtime.rescaled import make_rescaled_runner
+                run = jax.jit(make_rescaled_runner(
+                    apply_step, self.steps, self.slicing_axes, k, out_shape,
+                    field))
+                result, factor = run(arrays)
+            elif mesh is not None:
+                from .parallel import run_sliced_contraction
+                result = run_sliced_contraction(
+                    arrays, self.steps, self.slicing_axes, k, out_shape, mesh,
+                    field=field, execute=execute)
+            elif checkpoint_path is not None:
+                from .runtime.checkpoint import run_sliced_checkpointed
+                run = jax.jit(ex.make_sliced_runner(
+                    execute, self.steps, self.slicing_axes, k, out_shape,
+                    field))
+                result = run_sliced_checkpointed(
+                    run, arrays, k, out_shape, field, checkpoint_path)
+            else:
+                run = jax.jit(ex.make_sliced_runner(
+                    execute, self.steps, self.slicing_axes, k, out_shape,
+                    field))
+                result = run(arrays)
+            result = field.unwrap(result).reshape(out_shape)
+        if report is not None:
+            report.predicted_flops = (2 ** k) * mt.scheme_flops(
+                self.steps, field.algo if mode == "split" else "naive")
+            report.wall_s = wall.elapsed
+            report.num_slices = 2 ** k
+            report.num_steps = len(self.steps)
+            report.reorders = mt.reorder_census(self.steps)
+            tc, sc, _ = self.ctree.complexity()
+            report.tc, report.sc = tc, sc
         if self.permute_dims:
             result = result.transpose(self.permute_dims)
+        if scientific_notation:
+            return result, float(np.asarray(factor))
         return result
 
 

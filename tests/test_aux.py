@@ -1,0 +1,188 @@
+"""Aux subsystems: plan IO, rescaled execution, checkpoint/resume, metrics,
+random circuits, CLI, field-mode cross-checks."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from artensor_tpu import plan_io
+from artensor_tpu.circuits import TensorNetworkCircuit
+from artensor_tpu.circuits.random_circuits import random_circuit
+from artensor_tpu.network import NumericalTensorNetwork
+from artensor_tpu.ops.field import make_field
+from artensor_tpu.planner import find_order
+from artensor_tpu.runtime import build_slicing_axes, contraction_scheme
+from artensor_tpu.runtime.executor import make_sliced_runner, stage_tensors, execute_dense
+
+PLAN_KW = dict(trials=2, iters=5, betas=np.linspace(3, 21, 10),
+               slicing_repeat=1, parallel=False)
+
+
+@pytest.fixture(scope="module")
+def closed_circuit():
+    n, layers = random_circuit(3, 3, 6, seed=11)
+    bits = "0" * n
+    c = TensorNetworkCircuit((n, layers), final_state=bits)
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("normal")
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, sc_target=3, **PLAN_KW)
+    want = complex(c.state_vec())
+    return ntn, tb2, fq2, order, sliced, ctree, want
+
+
+def test_plan_io_roundtrip(tmp_path, closed_circuit):
+    ntn, tb2, fq2, order, sliced, ctree, want = closed_circuit
+    path = tmp_path / "plan.json"
+    plan_io.save_plan(path, ctree, meta={"note": "test"})
+    order2, sliced2, ctree2 = plan_io.load_plan(path)
+    assert order2 == [tuple(p) for p in ctree.to_order_bfs()]
+    assert set(sliced2) == set(sliced)
+    assert ctree2.complexity() == pytest.approx(ctree.complexity(), abs=1e-9)
+    # the reloaded plan executes to the same amplitude
+    steps, ob = contraction_scheme(ctree2)
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    axes = build_slicing_axes(tb2, sliced2)
+    run = jax.jit(make_sliced_runner(
+        execute_dense, steps, axes, len(sliced2), (), field))
+    got = complex(field.unwrap(run(staged)).reshape(()))
+    assert abs(got - want) < 1e-10
+
+
+def test_rescaled_execution_matches_plain(closed_circuit):
+    from artensor_tpu.runtime.rescaled import make_rescaled_runner
+    from artensor_tpu.runtime.segmented import apply_dense_step
+
+    ntn, tb2, fq2, order, sliced, ctree, want = closed_circuit
+    steps, _ = contraction_scheme(ctree)
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    axes = build_slicing_axes(tb2, sliced)
+    run = jax.jit(make_rescaled_runner(
+        apply_dense_step, steps, axes, len(sliced), (), field))
+    tensor, factor = run(staged)
+    got = complex(field.unwrap(tensor).reshape(())) * 10.0 ** float(factor)
+    assert abs(got - want) < 1e-8
+    # mantissa stays O(1)
+    assert abs(complex(field.unwrap(tensor).reshape(()))) < 10.0
+
+
+def test_checkpoint_resume(tmp_path, closed_circuit):
+    from artensor_tpu.runtime.checkpoint import run_sliced_checkpointed
+
+    ntn, tb2, fq2, order, sliced, ctree, want = closed_circuit
+    k = len(sliced)
+    assert k >= 1
+    steps, _ = contraction_scheme(ctree)
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    axes = build_slicing_axes(tb2, sliced)
+    run = jax.jit(make_sliced_runner(execute_dense, steps, axes, k, (), field))
+    ckpt = str(tmp_path / "acc.npz")
+
+    # interrupt after the first chunk, then resume
+    calls = []
+
+    def boom(done, total):
+        calls.append(done)
+        if len(calls) == 1:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        run_sliced_checkpointed(run, staged, k, (), field, ckpt,
+                                chunk=1, progress=boom)
+    assert os.path.exists(ckpt)
+    saved = np.load(ckpt)
+    assert int(saved["next_slice"]) == 1
+    acc = run_sliced_checkpointed(run, staged, k, (), field, ckpt, chunk=1)
+    got = complex(field.unwrap(acc).reshape(()))
+    assert abs(got - want) < 1e-10
+    assert not os.path.exists(ckpt)  # cleaned up on success
+
+
+def test_metrics_report(closed_circuit):
+    from artensor_tpu.runtime import metrics as mt
+
+    ntn, tb2, fq2, order, sliced, ctree, want = closed_circuit
+    steps, _ = contraction_scheme(ctree)
+    flops = mt.scheme_flops(steps)
+    assert flops > 0
+    census = mt.reorder_census(steps)
+    assert sum(census.values()) == len(steps)
+    rep = mt.ContractionReport(predicted_flops=flops, wall_s=1.0,
+                               num_steps=len(steps), reorders=census)
+    assert "steps" in rep.summary()
+
+
+def test_field_modes_agree(closed_circuit):
+    ntn, tb2, fq2, order, sliced, ctree, want = closed_circuit
+    steps, _ = contraction_scheme(ctree)
+    axes = build_slicing_axes(tb2, sliced)
+    results = {}
+    for mode in ("split", "complex"):
+        for algo in ("naive", "karatsuba"):
+            field = make_field(np.complex128, "highest", mode, algo)
+            staged = stage_tensors(
+                field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+            run = jax.jit(make_sliced_runner(
+                execute_dense, steps, axes, len(sliced), (), field))
+            results[(mode, algo)] = complex(field.unwrap(run(staged)).reshape(()))
+    for key, val in results.items():
+        assert abs(val - want) < 1e-10, key
+
+
+def test_random_circuit_properties():
+    n, layers = random_circuit(3, 4, 8, seed=0)
+    assert n == 12
+    c = TensorNetworkCircuit((n, layers))
+    psi = c.state_vec().reshape(-1)
+    assert np.isclose(np.linalg.norm(psi), 1.0, atol=1e-10)
+    # no repeated single-qubit gate on the same qubit in consecutive cycles
+    seen = {}
+    for layer in layers:
+        for name, qubits, params in layer:
+            if name == "fsim":
+                continue
+            q = qubits[0]
+            assert seen.get(q) != name
+            seen[q] = name
+
+
+def test_cli_plan_and_simulate(tmp_path, capsys):
+    from artensor_tpu.__main__ import main
+
+    n, layers = random_circuit(2, 3, 4, seed=2)
+    # write a qsim file for the CLI
+    lines = [str(n)]
+    for li, layer in enumerate(layers):
+        for name, qubits, params in layer:
+            lines.append(" ".join(
+                [str(li), name, *map(str, qubits), *map(str, params)]))
+    qsim = tmp_path / "small.qsim"
+    qsim.write_text("\n".join(lines) + "\n")
+
+    main(["info", str(qsim)])
+    info = json.loads(capsys.readouterr().out)
+    assert info["qubits"] == n
+
+    plan = tmp_path / "plan.json"
+    main(["plan", str(qsim), "--out", str(plan), "--sc-target", "30",
+          "--trials", "1", "--iters", "3", "--serial"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["sc"] <= 30
+
+    main(["simulate", str(qsim), "--bitstrings", "0" * n + "," + "1" * n,
+          "--serial", "--trials", "1", "--iters", "3"])
+    sim_out = capsys.readouterr().out.strip().splitlines()
+    got = {ln.split()[0]: complex(float(ln.split()[1]), float(ln.split()[2]))
+           for ln in sim_out}
+    c = TensorNetworkCircuit((n, layers))
+    psi = c.state_vec().reshape(-1)
+    for bs, amp in got.items():
+        assert abs(amp - psi[int(bs, 2)]) < 1e-6
