@@ -49,10 +49,14 @@ def __getattr__(name):
         "contraction_scheme", "contraction_scheme_sparse",
         "tensor_contraction", "tensor_contraction_sparse",
     ):
-        from .runtime import scheme as _scheme
-        from .runtime import executor as _executor
-        mod = _scheme if name.startswith("contraction_scheme") else _executor
-        return getattr(mod, name)
+        from . import runtime
+        return getattr(runtime, name)
+    if name in ("save_plan", "load_plan"):
+        from . import plan_io
+        return getattr(plan_io, name)
+    if name == "make_field":
+        from .ops.field import make_field
+        return make_field
     if name in (
         "TensorNetworkSimulation", "tensor_network_contraction",
         "quantum_circuit_simulation",

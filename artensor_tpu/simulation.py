@@ -99,6 +99,18 @@ class TensorNetworkSimulation:
         self._compile_scheme()
         return self
 
+    def update_scheme(self, sc_target=None, bitstrings=None):
+        """Recompile the scheme (e.g. for a new bitstring batch) without
+        re-planning (reference-parity name, simulation.py:79-88)."""
+        if bitstrings is not None:
+            self.bitstrings = list(bitstrings)
+            pattern, max_bitstrings = check_bitstrings(self.bitstrings)
+            assert pattern == self.pattern, "batch/dense mode is fixed at construction"
+        if sc_target is not None:
+            self.config.sc_target = sc_target
+        self._compile_scheme()
+        return self
+
     def _compile_scheme(self):
         from .runtime import executor as ex
         from .runtime import scheme as sch
