@@ -131,16 +131,25 @@ def simulate_annealing(tn, sc_target=-1, trials=10, iters=50,
             order, sc_target, iters, betas, start_seed + i, slicing_repeat,
             alpha,
         ))
+    results = None
     if parallel and trials > 1 and os.name == "posix":
         # fork is fastest, but forking after jax initialized its TPU client
-        # can wedge the child; fall back to spawn in that case (planner
-        # modules never import jax, so spawn workers stay lightweight)
+        # can wedge the child; use spawn then — unless the main module is
+        # not a real file (stdin/notebook), where spawn cannot re-import
         import sys as _sys
-        method = "spawn" if "jax" in _sys.modules else "fork"
-        ctx = mp.get_context(method)
-        with ctx.Pool(min(trials, os.cpu_count() or 1)) as pool:
-            results = pool.map(_sa_worker, payloads)
-    else:
+        main_mod = _sys.modules.get("__main__")
+        spawn_ok = getattr(main_mod, "__file__", None) is not None
+        if "jax" not in _sys.modules:
+            method = "fork"
+        elif spawn_ok:
+            method = "spawn"
+        else:
+            method = None  # no safe pool: run serially
+        if method is not None:
+            ctx = mp.get_context(method)
+            with ctx.Pool(min(trials, os.cpu_count() or 1)) as pool:
+                results = pool.map(_sa_worker, payloads)
+    if results is None:
         results = [_sa_worker(p) for p in payloads]
     # rank by log10(total flops over all 2^k slices) = per-slice tc + k*log10(2)
     best = min(results, key=lambda r: r[0][1] + len(r[1][1]) * LOG10_2)
@@ -148,14 +157,29 @@ def simulate_annealing(tn, sc_target=-1, trials=10, iters=50,
     return order, list(sliced)
 
 
+def _native_annealing(tn, sc_target, trials, iters, betas, slicing_repeat,
+                      start_seed, alpha):
+    """Run the C++ SA kernel (all trials on native threads)."""
+    from ..native import sa_find_order_native
+
+    greedy = GreedyOrderFinder(tn)
+    init_orders = [greedy("min_dim", start_seed + i)[0] for i in range(trials)]
+    order, sliced, stats = sa_find_order_native(
+        tn, init_orders, sc_target, iters, list(betas), slicing_repeat,
+        start_seed, alpha=alpha)
+    return order, sliced
+
+
 def find_order(tensor_bonds, bond_dims, final_qubits=(), seed=0,
-               max_bitstrings=1, parallel=True, **sa_kwargs):
+               max_bitstrings=1, parallel=True, engine="auto", **sa_kwargs):
     """Plan a contraction: returns (order, slicing_bonds, ContractionTree).
 
     The returned tree owns a network with the chosen bonds already sliced;
-    the scheme compilers consume it directly.  All extra keyword arguments
+    the scheme compilers consume it directly.  ``engine``: 'native' (C++ SA
+    kernel, trials on threads), 'python', or 'auto' (native when the
+    toolchain-built kernel is available).  All extra keyword arguments
     (sc_target, trials, iters, betas, slicing_repeat, start_seed, alpha) are
-    forwarded to :func:`simulate_annealing`.
+    forwarded to the annealer.
     """
     tn = AbstractTensorNetwork(
         {t: list(b) for t, b in (
@@ -163,8 +187,28 @@ def find_order(tensor_bonds, bond_dims, final_qubits=(), seed=0,
             else enumerate(tensor_bonds))},
         dict(bond_dims), final_qubits, max_bitstrings,
     )
-    order, slicing_bonds = simulate_annealing(
-        clone_network(tn), parallel=parallel, **sa_kwargs)
+    use_native = False
+    if engine in ("auto", "native"):
+        try:
+            from ..native import native_available
+            use_native = native_available()
+        except Exception:
+            use_native = False
+        if engine == "native" and not use_native:
+            raise RuntimeError("native planner kernel unavailable")
+    if use_native and len(tn.tensor_bonds) >= 2:
+        na_kwargs = dict(sc_target=-1, trials=10, iters=50,
+                         betas=np.linspace(0.1, 10, 100), slicing_repeat=4,
+                         start_seed=0, alpha=32.0)
+        na_kwargs.update(sa_kwargs)
+        order, slicing_bonds = _native_annealing(
+            clone_network(tn), na_kwargs["sc_target"], na_kwargs["trials"],
+            na_kwargs["iters"], na_kwargs["betas"],
+            na_kwargs["slicing_repeat"], na_kwargs["start_seed"],
+            na_kwargs["alpha"])
+    else:
+        order, slicing_bonds = simulate_annealing(
+            clone_network(tn), parallel=parallel, **sa_kwargs)
     for bond in slicing_bonds:
         tn.slicing(bond)
     ctree = ContractionTree(tn, order)

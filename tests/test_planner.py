@@ -191,3 +191,57 @@ def test_score_function():
     assert over == pytest.approx(10.0 + 2 * math.log10(2) * 2.0)
     with_mem = score(10.0, 20.0, 10.0, sc_target=30.0, alpha=32.0)
     assert with_mem == pytest.approx(math.log10(32.0 * 1e10 + 1e10))
+
+
+def test_native_planner_matches_cost_model():
+    """The C++ SA kernel's reported complexity must equal the Python tree's
+    evaluation of its plan (same cost model), and its plans must be valid."""
+    pytest.importorskip("numpy")
+    try:
+        from artensor_tpu.native import native_available, sa_find_order_native
+    except Exception:
+        pytest.skip("native module unavailable")
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    from artensor_tpu.planner import clone_network
+    from artensor_tpu.planner.greedy import GreedyOrderFinder
+
+    tb = {i: [] for i in range(16)}
+    dims = {}
+    bid = 0
+    for i in range(16):
+        for j in (i + 1, i + 2):
+            b = f"b{bid}"
+            bid += 1
+            tb[i].append(b)
+            tb[j % 16].append(b)
+            dims[b] = 2.0
+    tn = AbstractTensorNetwork(tb, dims)
+    greedy = GreedyOrderFinder(tn)
+    inits = [greedy("min_dim", s)[0] for s in range(3)]
+    order, sliced, stats = sa_find_order_native(
+        tn, inits, 4.0, 8, np.linspace(3, 21, 15), 2, 0)
+    _check_valid_order(order, 16)
+    tn2 = clone_network(tn)
+    for b in sliced:
+        tn2.slicing(b)
+    tree = ContractionTree(tn2, order)
+    tc, sc, mc = tree.complexity()
+    assert tc == pytest.approx(stats[0], abs=1e-6)
+    assert sc == pytest.approx(stats[1], abs=1e-9)
+    assert sc <= 4.0
+
+
+def test_find_order_native_engine():
+    tb = {0: ["a", "b"], 1: ["a", "c"], 2: ["b", "c", "d"], 3: ["d"]}
+    dims = {b: 2.0 for b in "abcd"}
+    try:
+        from artensor_tpu.native import native_available
+    except Exception:
+        pytest.skip("native module unavailable")
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    order, sliced, ctree = find_order(
+        tb, dims, sc_target=30, trials=2, iters=3,
+        betas=np.linspace(3, 21, 5), engine="native")
+    _check_valid_order(order, 4)
