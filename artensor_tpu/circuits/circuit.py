@@ -119,8 +119,14 @@ class TensorNetworkCircuit:
         tensor_bonds, bond_dims, final_qubits = self.to_abstract_tn()
         return tensors, tensor_bonds, bond_dims, final_qubits
 
-    def to_einsum(self):
-        """(tensors, operand index lists, output index list) for one giant einsum."""
+    def to_einsum(self, as_string=False):
+        """One giant einsum for the whole circuit.
+
+        Default: (tensors, operand index lists, output index list) — integer
+        sublists, no label cap.  ``as_string=True`` returns (tensors, eq)
+        with a letter equation like the reference (circuit.py:135-153);
+        only possible for <= 52 distinct bonds.
+        """
         labels = {}
         for bs in self.bonds:
             for b in bs:
@@ -128,6 +134,11 @@ class TensorNetworkCircuit:
         operands = [[labels[b] for b in bs] for bs in self.bonds]
         output = [labels[f"{self._wire[q]}-{q}"] for q in range(self.n)] \
             if self.final_state is None else []
+        if as_string:
+            from ..utils import einsum_eq_convert
+            out_bonds = [f"{self._wire[q]}-{q}" for q in range(self.n)] \
+                if self.final_state is None else []
+            return self.arrays, einsum_eq_convert(self.bonds, out_bonds)
         return self.arrays, operands, output
 
     # -- oracles (testing) ------------------------------------------------

@@ -118,6 +118,13 @@ class AbstractTensorNetwork:
         return max(cands, key=lambda t: (len(self.tensor_bonds[t]), t))
 
 
+
+
+# reference-parity method name (tensor_network.py:82-90)
+AbstractTensorNetwork.find_contract_pair = \
+    AbstractTensorNetwork.neighbor_with_most_bonds
+
+
 def _bond_qubit(bond):
     """Qubit index encoded in a wire-style bond label '{step}-{qubit}'."""
     return int(str(bond).split("-")[1])
@@ -224,3 +231,7 @@ class NumericalTensorNetwork(AbstractTensorNetwork):
             new_bonds_map[new] = bonds
         self.tensors = {remap[old]: self.tensors[old] for old in old_ids}
         return new_bonds_map, final_qubit_ids
+
+
+# reference-parity name
+NumericalTensorNetwork._simplify = NumericalTensorNetwork.simplify

@@ -44,6 +44,16 @@ def check_bitstrings(bitstrings):
     return "normal", 1
 
 
+def get_bond_tensors(tensor_bonds):
+    """Inverted bond->tensors index (reference-parity helper,
+    simulation.py:25-31)."""
+    out = {}
+    for tid, bonds in tensor_bonds.items():
+        for b in bonds:
+            out.setdefault(b, set()).add(tid)
+    return out
+
+
 def _qubit_of(bond):
     return int(str(bond).split("-")[1])
 

@@ -42,3 +42,26 @@ def log10sumexp2(values):
 def popcount_configs(num_bits, value):
     """Binary digits of ``value`` as a list of ints, MSB first, width num_bits."""
     return [(value >> (num_bits - 1 - k)) & 1 for k in range(num_bits)]
+
+
+# ---- reference-compatibility helpers ------------------------------------
+
+_ASCII_LETTERS = [chr(c) for c in list(range(65, 91)) + list(range(97, 123))]
+
+
+def einsum_eq_convert(ixs, iy):
+    """Letter einsum equation for bond-label lists (reference-parity helper,
+    /root/reference/artensor/contraction.py:13-20).  The framework itself
+    uses integer sublists (no 52-label cap); this exists for users porting
+    reference code.  Raises if more than 52 distinct labels appear."""
+    labels = {}
+    for ix in list(ixs) + [iy]:
+        for b in ix:
+            labels.setdefault(b, len(labels))
+    if len(labels) > len(_ASCII_LETTERS):
+        raise ValueError(
+            f"{len(labels)} distinct labels exceed the 52-letter einsum "
+            "alphabet; use integer-sublist einsum instead")
+    m = {b: _ASCII_LETTERS[k] for b, k in labels.items()}
+    return ",".join("".join(m[b] for b in ix) for ix in ixs) + \
+        "->" + "".join(m[b] for b in iy)
