@@ -146,7 +146,7 @@ class TensorNetworkSimulation:
 
     def contraction(self, dtype=np.complex64, mesh=None, precision="highest",
                     mode="split", algo="naive", scientific_notation=False,
-                    checkpoint_path=None, report=None):
+                    checkpoint_path=None, report=None, slice_batch=1):
         """Execute the compiled plan; returns amplitudes as a numpy array.
 
         'normal': tensor of shape (2,)*n_open in qubit order.
@@ -204,7 +204,7 @@ class TensorNetworkSimulation:
             else:
                 run = jax.jit(ex.make_sliced_runner(
                     execute, self.steps, self.slicing_axes, k, out_shape,
-                    field))
+                    field, slice_batch=slice_batch))
                 result = run(arrays)
             result = field.unwrap(result).reshape(out_shape)
         if report is not None:

@@ -91,7 +91,8 @@ def main():
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
     k = len(sliced)
     run = jax.jit(make_sliced_runner(
-        execute_sparse, steps, axes, k, (len(bits_sorted),), field))
+        execute_sparse, steps, axes, k, (len(bits_sorted),), field,
+        slice_batch=8))
 
     def once():
         t0 = time.time()

@@ -160,3 +160,23 @@ def test_n12_dense_full_amplitudes():
         assert np.allclose(amps[int(bs, 2)], amp, rtol=1e-4, atol=1e-7), bs
     # normalization survives the pipeline
     assert np.isclose(np.linalg.norm(amps), 1.0, atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_N12), reason="reference data absent")
+def test_slice_batch_matches_sequential():
+    # vmapped slice groups must give identical sums to the sequential scan
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.runtime.executor import make_sliced_runner, execute_dense
+
+    c = TensorNetworkCircuit(REF_N12, final_state="100001000001")
+    tb2, sliced, ctree, arrays = _plan_and_arrays(c, sc_target=8)
+    k = len(sliced)
+    assert 2 ** k % 4 == 0
+    steps, _ = contraction_scheme(ctree)
+    axes = build_slicing_axes(tb2, sliced)
+    seq = jax.jit(make_sliced_runner(execute_dense, steps, axes, k, (), FIELD))
+    bat = jax.jit(make_sliced_runner(execute_dense, steps, axes, k, (), FIELD,
+                                     slice_batch=4))
+    a = complex(FIELD.unwrap(seq(arrays)).reshape(()))
+    b = complex(FIELD.unwrap(bat(arrays)).reshape(()))
+    assert abs(a - b) < 1e-12
