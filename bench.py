@@ -3,8 +3,9 @@
 Workload (BASELINE.json north star): 1,000 bitstring amplitudes of the
 n30 m14 EFGH random circuit in ONE sparse-state contraction, validated
 against Google's Schrodinger-Feynman ground-truth file.  The contraction
-plan (SA-optimized, sc_target=24, 6 sliced bonds -> 64 slices) is loaded
-from plans/n30_m14_sparse_sc24.json, so the bench measures compile+execute,
+plan (native-SA-optimized, sc_target=22, 8 sliced bonds -> 256 slices,
+executed 32 vmapped slices per scan step) is loaded
+from plans/n30_m14_sparse_sc22.json, so the bench measures compile+execute,
 not planning.
 
 Baseline for vs_baseline: the reference implementation (Fanerst/artensor,
@@ -24,7 +25,7 @@ import numpy as np
 
 REF_CIRCUIT = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
 REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
-PLAN = "plans/n30_m14_sparse_sc24.json"
+PLAN = "plans/n30_m14_sparse_sc22.json"
 TORCH_CPU_BASELINE_S = 296.3  # measured; see module docstring
 N_BITSTRINGS = 1000
 REPEATS = 3
@@ -85,14 +86,14 @@ def main():
 
     order, sliced, ctree = plan_io.load_plan(PLAN)
     steps, out_bonds, bits_sorted = contraction_scheme_sparse(
-        ctree, bitstrings, sc_target=24)
+        ctree, bitstrings, sc_target=22)
     field = make_field(np.complex64, "highest", "split")
     staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
     k = len(sliced)
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bits_sorted),), field,
-        slice_batch=8))
+        slice_batch=32))
 
     def once():
         t0 = time.time()
