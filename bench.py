@@ -4,7 +4,7 @@ Workload (BASELINE.json north star): 1,000 bitstring amplitudes of the
 n30 m14 EFGH random circuit in ONE sparse-state contraction, validated
 against Google's Schrodinger-Feynman ground-truth file.  The contraction
 plan (native-SA-optimized, sc_target=22, 8 sliced bonds -> 256 slices,
-executed 32 vmapped slices per scan step) is loaded
+executed 128 vmapped slices per scan step) is loaded
 from plans/n30_m14_sparse_sc22.json, so the bench measures compile+execute,
 not planning.
 
@@ -93,7 +93,7 @@ def main():
     k = len(sliced)
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bits_sorted),), field,
-        slice_batch=32))
+        slice_batch=128))
 
     def once():
         t0 = time.time()
