@@ -159,3 +159,22 @@ def test_cirq_loader_n30():
     tb, bd, fq = c.to_abstract_tn()
     assert len(tb) == 30 + 1270
     assert len(fq) == 30
+
+
+def test_einsum_eq_convert_parity():
+    from artensor_tpu.utils import einsum_eq_convert
+
+    eq = einsum_eq_convert([["a", "b"], ["b", "c"]], ["a", "c"])
+    left, out = eq.split("->")
+    ix1, ix2 = left.split(",")
+    assert len(ix1) == len(ix2) == len(out) == 2
+    assert ix1[1] == ix2[0] and ix1[0] == out[0] and ix2[1] == out[1]
+    with pytest.raises(ValueError):
+        einsum_eq_convert([[f"b{k}" for k in range(60)]], [])
+
+
+def test_to_einsum_string_matches_sublists():
+    c = TensorNetworkCircuit(SMALL)
+    arrays, eq = c.to_einsum(as_string=True)
+    got = np.einsum(eq, *arrays)
+    assert np.allclose(got, c.state_vec(), atol=1e-12)
