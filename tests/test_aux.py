@@ -186,3 +186,28 @@ def test_cli_plan_and_simulate(tmp_path, capsys):
     psi = c.state_vec().reshape(-1)
     for bs, amp in got.items():
         assert abs(amp - psi[int(bs, 2)]) < 1e-6
+
+
+def test_pallas_complex_matmul_interpret():
+    """Fused split-complex matmul kernel == complex matmul (interpret mode)."""
+    from unittest import mock
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import artensor_tpu.ops.pallas_mm as pm
+
+    rng = np.random.default_rng(0)
+    B, M, K, N = 2, 256, 64, 256
+    a = (jnp.asarray(rng.random((B, M, K), np.float32)),
+         jnp.asarray(rng.random((B, M, K), np.float32)))
+    b = (jnp.asarray(rng.random((B, K, N), np.float32)),
+         jnp.asarray(rng.random((B, K, N), np.float32)))
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           lambda *args, **kw: orig(*args, interpret=True, **kw)):
+        re, im = pm.complex_batched_matmul(a, b)
+    want = (np.asarray(a[0]) + 1j * np.asarray(a[1])) @ \
+        (np.asarray(b[0]) + 1j * np.asarray(b[1]))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    assert np.abs(got - want).max() < 1e-3
