@@ -96,7 +96,7 @@ def native_available():
 
 
 def sa_find_order_native(tn, init_orders, sc_target, iters, betas,
-                         slicing_repeat, seed, alpha=32.0, n_threads=0):
+                         slicing_repeat, seed, alpha=32.0, n_threads=None):
     """Run the native SA over an AbstractTensorNetwork.
 
     ``init_orders``: list (per trial) of pairwise orders over tensor ids.
@@ -141,7 +141,7 @@ def sa_find_order_native(tn, init_orders, sc_target, iters, betas,
         float(alpha),
         int(slicing_repeat),
         int(seed),
-        int(n_threads),
+        int(n_threads if n_threads else (os.cpu_count() or 1)),
         out_order,
         out_sliced,
         out_stats,
