@@ -26,7 +26,7 @@ from .planner import (
 )
 from .utils import log2sumexp2, log10sumexp2
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "AbstractTensorNetwork",

@@ -146,7 +146,8 @@ class TensorNetworkSimulation:
 
     def contraction(self, dtype=np.complex64, mesh=None, precision="highest",
                     mode="split", algo="naive", scientific_notation=False,
-                    checkpoint_path=None, report=None, slice_batch=1):
+                    checkpoint_path=None, report=None, slice_batch=1,
+                    profile_dir=None):
         """Execute the compiled plan; returns amplitudes as a numpy array.
 
         'normal': tensor of shape (2,)*n_open in qubit order.
@@ -158,6 +159,7 @@ class TensorNetworkSimulation:
           (amplitudes, log10_factor) — true values = amps * 10**factor.
         ``checkpoint_path``: persist partial slice sums for resume.
         ``report``: a runtime.metrics.ContractionReport to fill in.
+        ``profile_dir``: capture a jax profiler trace of the execution.
         """
         import jax
 
@@ -182,6 +184,10 @@ class TensorNetworkSimulation:
             apply_step = apply_sparse_step
 
         factor = None
+        profiler = None
+        if profile_dir is not None:
+            profiler = jax.profiler.trace(profile_dir)
+            profiler.__enter__()
         with mt.Timer() as wall:
             if scientific_notation:
                 from .runtime.rescaled import make_rescaled_runner
@@ -207,6 +213,8 @@ class TensorNetworkSimulation:
                     field, slice_batch=slice_batch))
                 result = run(arrays)
             result = field.unwrap(result).reshape(out_shape)
+        if profiler is not None:
+            profiler.__exit__(None, None, None)
         if report is not None:
             report.predicted_flops = (2 ** k) * mt.scheme_flops(
                 self.steps, field.algo if mode == "split" else "naive")
