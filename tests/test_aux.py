@@ -211,3 +211,57 @@ def test_pallas_complex_matmul_interpret():
         (np.asarray(b[0]) + 1j * np.asarray(b[1]))
     got = np.asarray(re) + 1j * np.asarray(im)
     assert np.abs(got - want).max() < 1e-3
+
+
+@pytest.fixture(scope="module")
+def sparse_scheme():
+    from artensor_tpu.runtime.sparse import contraction_scheme_sparse
+
+    n, layers = random_circuit(3, 3, 6, seed=13)
+    c = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    rng = np.random.default_rng(5)
+    bitstrings = [np.binary_repr(b, n)
+                  for b in rng.choice(2 ** n, 60, replace=False)]
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, max_bitstrings=60, sc_target=6, **PLAN_KW)
+    steps, ob, bits_sorted = contraction_scheme_sparse(
+        ctree, bitstrings, sc_target=6)
+    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    want = c.state_vec().reshape(-1)
+    return ntn, steps, axes, len(sliced), bits_sorted, want
+
+
+def test_segmented_matches_monolithic_sparse(sparse_scheme):
+    from artensor_tpu.runtime.segmented import run_segmented, apply_sparse_step
+    from artensor_tpu.runtime.sparse import execute_sparse
+
+    ntn, steps, axes, k, bits_sorted, want = sparse_scheme
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    mono = jax.jit(make_sliced_runner(
+        execute_sparse, steps, axes, k, (len(bits_sorted),), field))(staged)
+    seg = run_segmented(staged, steps, axes, k, (len(bits_sorted),), field,
+                        apply_sparse_step, segment_steps=7)
+    a = field.unwrap(mono).reshape(-1)
+    b = field.unwrap(seg).reshape(-1)
+    assert np.abs(a - b).max() < 1e-12
+    for amp, bs in zip(a, bits_sorted):
+        assert abs(amp - want[int(bs, 2)]) < 1e-10, bs
+
+
+def test_rescaled_sparse_matches_plain(sparse_scheme):
+    from artensor_tpu.runtime.rescaled import make_rescaled_runner
+    from artensor_tpu.runtime.sparse import apply_sparse_step
+
+    ntn, steps, axes, k, bits_sorted, want = sparse_scheme
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    run = jax.jit(make_rescaled_runner(
+        apply_sparse_step, steps, axes, k, (len(bits_sorted),), field))
+    tensor, factor = run(staged)
+    amps = field.unwrap(tensor).reshape(-1) * 10.0 ** float(factor)
+    for amp, bs in zip(amps, bits_sorted):
+        assert abs(amp - want[int(bs, 2)]) < 1e-8, bs
