@@ -56,6 +56,12 @@ def main():
 
     import jax
 
+    # persistent compilation cache: later runs in the same repo skip the
+    # (1-10 min) XLA compile when the program is unchanged
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     from artensor_tpu import plan_io
     from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
     from artensor_tpu.network import NumericalTensorNetwork
