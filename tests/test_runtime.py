@@ -180,3 +180,62 @@ def test_slice_batch_matches_sequential():
     a = complex(FIELD.unwrap(seq(arrays)).reshape(()))
     b = complex(FIELD.unwrap(bat(arrays)).reshape(()))
     assert abs(a - b) < 1e-12
+
+
+def test_hyperedge_network_executes_correctly():
+    """Bonds shared by 3+ tensors (hyperedges) flow through the batch-label
+    path of the lowering; validate numerically against a direct einsum."""
+    from artensor_tpu.runtime.executor import (
+        execute_dense, make_sliced_runner, stage_tensors)
+
+    rng = np.random.default_rng(3)
+    # h is a 3-tensor hyperedge; g is an open output bond
+    tb = {0: ["a", "h"], 1: ["a", "b", "h"], 2: ["b", "c", "h"],
+          3: ["c", "g"]}
+    dims = {b: 2.0 for b in "abchg"}
+    arrays = {t: rng.standard_normal([2] * len(bs))
+              + 1j * rng.standard_normal([2] * len(bs))
+              for t, bs in tb.items()}
+    order, sliced, ctree = find_order(
+        tb, dims, sc_target=30, trials=2, iters=4,
+        betas=np.linspace(3, 21, 8), parallel=False)
+    steps, out_bonds = contraction_scheme(ctree)
+    staged = stage_tensors(FIELD, [arrays[t] for t in range(4)])
+    run = jax.jit(make_sliced_runner(
+        execute_dense, steps, [], 0, (2,) * len(out_bonds), FIELD))
+    got = FIELD.unwrap(run(staged)).reshape((2,) * len(out_bonds))
+    lab = {b: k for k, b in enumerate("abchg")}
+    want = np.einsum(
+        arrays[0], [lab[b] for b in tb[0]],
+        arrays[1], [lab[b] for b in tb[1]],
+        arrays[2], [lab[b] for b in tb[2]],
+        arrays[3], [lab[b] for b in tb[3]],
+        [lab[b] for b in out_bonds])
+    assert np.abs(got - want).max() < 1e-12
+
+
+def test_hyperedge_with_slicing_on_hyperbond():
+    """Slicing a degree-3 hyperbond must still sum correctly."""
+    from artensor_tpu.planner import clone_network
+    from artensor_tpu.planner import ContractionTree
+    from artensor_tpu.network import AbstractTensorNetwork
+    from artensor_tpu.runtime.executor import (
+        execute_dense, make_sliced_runner, stage_tensors)
+
+    rng = np.random.default_rng(4)
+    tb = {0: ["a", "h"], 1: ["a", "b", "h"], 2: ["b", "h"]}
+    dims = {b: 2.0 for b in "abh"}
+    arrays = {t: rng.standard_normal([2] * len(bs)) for t, bs in tb.items()}
+    tn = AbstractTensorNetwork(tb, dims)
+    tn.slicing("h")
+    ctree = ContractionTree(tn, [(0, 1), (0, 2)])
+    steps, out_bonds = contraction_scheme(ctree)
+    assert out_bonds == []
+    axes = build_slicing_axes(tb, ["h"])
+    staged = stage_tensors(FIELD, [arrays[t] for t in range(3)])
+    run = jax.jit(make_sliced_runner(execute_dense, steps, axes, 1, (), FIELD))
+    got = complex(FIELD.unwrap(run(staged)).reshape(()))
+    lab = {"a": 0, "b": 1, "h": 2}
+    want = np.einsum(arrays[0], [0, 2], arrays[1], [0, 1, 2],
+                     arrays[2], [1, 2], [])
+    assert abs(got - complex(want)) < 1e-12
