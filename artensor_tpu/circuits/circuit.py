@@ -107,11 +107,18 @@ class TensorNetworkCircuit:
         bond_dims = {b: 2.0 for bs in self.bonds for b in bs}
         if self.final_state is not None:
             # closed network: no open legs, no amplitude-batch tensors
-            final_qubits = set()
+            final_qubits = []
         else:
-            # the last n tensors are the final single-qubit gate per qubit
-            # (Sycamore circuits end with a full 1q layer)
-            final_qubits = set(range(len(self.bonds) - self.n, len(self.bonds)))
+            # the final tensor for qubit q is the one holding q's open
+            # out-leg '{wire[q]}-{q}' (the last gate touching q); the result
+            # is qubit-indexed, independent of gate order in the file
+            open_leg = {f"{self._wire[q]}-{q}": q for q in range(self.n)}
+            by_qubit = {}
+            for t, bs in enumerate(self.bonds):
+                for b in bs:
+                    if b in open_leg:
+                        by_qubit[open_leg[b]] = t
+            final_qubits = [by_qubit[q] for q in range(self.n)]
         return tensor_bonds, bond_dims, final_qubits
 
     def to_numerical_tn(self):

@@ -15,14 +15,55 @@ Gate-matrix equivalences (verified against cirq unitaries):
   Rz(r)                       -> 'rz' with phi = r
   FSimGate(theta, phi)        -> 'fsim'
 
-SECURITY NOTE: this executes the circuit file as Python.  Only load trusted,
-generated circuit files.
+SECURITY: the file is validated against a strict AST allowlist before being
+executed — only module-level assignments of literal gate-constructor
+expressions (the exact shape the generator emits) are admitted, so arbitrary
+code in a malicious "circuit file" is rejected, not run.
 """
 
+import ast
 import math
 import types
 
 import numpy as np
+
+# the complete AST vocabulary of Google's generated circuit files
+_ALLOWED_NODES = (
+    ast.Module, ast.Import, ast.Assign, ast.Expr, ast.Call, ast.Attribute,
+    ast.Name, ast.Constant, ast.List, ast.Tuple, ast.BinOp, ast.UnaryOp,
+    ast.Mult, ast.Div, ast.Add, ast.Sub, ast.Pow, ast.USub, ast.UAdd,
+    ast.keyword, ast.alias, ast.Load, ast.Store,
+)
+_ALLOWED_IMPORTS = {"cirq", "numpy", "math"}
+_ALLOWED_ATTRS = {
+    "GridQubit", "Moment", "Circuit", "X", "Y", "Z", "PhasedXPowGate",
+    "Rz", "FSimGate", "ISWAP", "CZ", "pi", "e", "on",
+}
+
+
+def _validate_circuit_ast(src, path):
+    """Reject anything beyond literal gate-constructor assignments."""
+    tree = ast.parse(src, str(path))
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"{path}: disallowed syntax {type(node).__name__} — not a "
+                "generated circuit file")
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.split(".")[0] not in _ALLOWED_IMPORTS:
+                    raise ValueError(f"{path}: disallowed import {alias.name}")
+        if isinstance(node, ast.Attribute):
+            # single-level attributes of module/gate names only; no dunders,
+            # no chains (blocks np.ctypeslib..., obj.__class__..., etc.)
+            if node.attr not in _ALLOWED_ATTRS:
+                raise ValueError(f"{path}: disallowed attribute .{node.attr}")
+            # bases: module/gate names, gate-expressions ((X**0.5).on,
+            # FSimGate(...).on) — never arbitrary chained objects
+            if not isinstance(node.value,
+                              (ast.Name, ast.Attribute, ast.Call, ast.BinOp)):
+                raise ValueError(f"{path}: disallowed attribute base")
+    return tree
 
 
 class _Qubit:
@@ -107,13 +148,22 @@ def load_cirq_circuit(path):
     shim = _shim_namespace(lambda moments: captured.setdefault("moments", moments))
     with open(path) as f:
         src = f.read()
-    env = {"cirq": shim, "np": np, "math": math}
+    tree = _validate_circuit_ast(src, path)
+
+    def _restricted_import(name, *args, **kwargs):
+        mod = {"cirq": shim, "numpy": np, "math": math}.get(name.split(".")[0])
+        if mod is None:
+            raise ImportError(f"import {name!r} not allowed in circuit files")
+        return mod
+
+    env = {"cirq": shim, "np": np, "math": math,
+           "__builtins__": {"__import__": _restricted_import}}
     # the generated files 'import cirq' themselves; route that import to the
     # shim for the duration of the exec (restoring any real cirq afterwards)
     prev = sys.modules.get("cirq")
     sys.modules["cirq"] = shim
     try:
-        exec(compile(src, str(path), "exec"), env)
+        exec(compile(tree, str(path), "exec"), env)
     finally:
         if prev is None:
             del sys.modules["cirq"]

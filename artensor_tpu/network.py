@@ -35,7 +35,13 @@ class AbstractTensorNetwork:
         Dimension of every bond.
     final_qubits : iterable[int]
         Tensor ids that carry an amplitude-batch axis in sparse (big-batch)
-        mode.  Empty for full-amplitude contraction.
+        mode, ORDERED BY QUBIT: final_qubits[q] is the tensor holding qubit
+        q's open leg.  Empty for full-amplitude contraction.  A raw set is
+        accepted (sorted once — callers without qubit info get a fixed
+        deterministic order); ordered inputs are preserved verbatim, which
+        the sparse scheme compiler relies on to map batch axes to qubits
+        (the reference keeps a qubit-indexed list for the same reason,
+        /root/reference/artensor/tensor_network.py:92-151 return value).
     max_bitstring : int
         Upper bound on the number of bitstring amplitudes computed at once.
     """
@@ -50,7 +56,9 @@ class AbstractTensorNetwork:
         for tid, bonds in self.tensor_bonds.items():
             for b in bonds:
                 self.bond_tensors[b].add(tid)
-        self.final_qubits = set(final_qubits) if final_qubits else set()
+        if isinstance(final_qubits, (set, frozenset)):
+            final_qubits = sorted(final_qubits)
+        self.final_qubits = tuple(final_qubits)
         self.num_fq = {
             tid: (1 if tid in self.final_qubits else 0) for tid in self.tensor_bonds
         }
@@ -206,13 +214,26 @@ class NumericalTensorNetwork(AbstractTensorNetwork):
                 break
             tid = mats[0]
             self.contract(self.neighbor_with_most_bonds(tid), tid)
-        # 3. parallel bonds: group bonds by their endpoint set
-        by_endpoints = {}
-        for bond, touching in self.bond_tensors.items():
-            by_endpoints.setdefault(tuple(sorted(touching)), []).append(bond)
-        for endpoints, bonds in sorted(by_endpoints.items()):
-            if len(endpoints) == 2 and len(bonds) > 1:
-                self.contract(*endpoints)
+        # 3. parallel bonds: repeatedly merge tensor pairs connected by >1
+        # bond.  The grouping is re-derived after every merge: a merge can
+        # consume tensors in later groups and can CREATE new parallel bonds
+        # (the reference shares the stale-grouping hazard,
+        # tensor_network.py:131-140).
+        while True:
+            by_endpoints = {}
+            for bond, touching in self.bond_tensors.items():
+                by_endpoints.setdefault(tuple(sorted(touching)), []).append(bond)
+            fq = set(self.final_qubits)
+            pair = next(
+                (eps for eps, bs in sorted(by_endpoints.items())
+                 if len(eps) == 2 and len(bs) > 1
+                 and not (eps[0] in fq and eps[1] in fq)), None)
+            if pair is None:
+                break
+            x, y = pair
+            if y in fq:  # the surviving tensor must keep its open-leg identity
+                x, y = y, x
+            self.contract(x, y)
         # 4. dense renumbering
         old_ids = list(self.tensor_bonds.keys())
         remap = {old: new for new, old in enumerate(old_ids)}

@@ -35,7 +35,7 @@ def plan_to_dict(ctree, meta=None):
         "tensor_bonds": {str(t): [str(b) for b in bs]
                          for t, bs in unsliced_bonds.items()},
         "bond_dims": {str(b): d for b, d in dims.items()},
-        "final_qubits": sorted(tn.final_qubits),
+        "final_qubits": list(tn.final_qubits),  # qubit-indexed order
         "max_bitstring": tn.max_bitstring,
         "complexity": {"tc": tc, "sc": sc, "mc": mc},
         "meta": meta or {},

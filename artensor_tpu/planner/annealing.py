@@ -127,7 +127,7 @@ def simulate_annealing(tn, sc_target=-1, trials=10, iters=50,
         order, _, _ = greedy("min_dim", start_seed + i)
         payloads.append((
             {t: list(b) for t, b in tn.tensor_bonds.items()},
-            dict(tn.bond_dims), sorted(tn.final_qubits), tn.max_bitstring,
+            dict(tn.bond_dims), list(tn.final_qubits), tn.max_bitstring,
             order, sc_target, iters, betas, start_seed + i, slicing_repeat,
             alpha,
         ))

@@ -370,7 +370,7 @@ def clone_network(tn):
     new.tensor_bonds = {t: list(b) for t, b in tn.tensor_bonds.items()}
     new.bond_dims = dict(tn.bond_dims)
     new.bond_tensors = {b: set(s) for b, s in tn.bond_tensors.items()}
-    new.final_qubits = set(tn.final_qubits)
+    new.final_qubits = tuple(tn.final_qubits)
     new.num_fq = dict(tn.num_fq)
     new.max_bitstring = tn.max_bitstring
     new.log2_max_bitstring = tn.log2_max_bitstring

@@ -8,6 +8,7 @@ chunk, resumes from the newest checkpoint on restart, and retries transient
 chunk failures (device/tunnel hiccups) with re-staged inputs.
 """
 
+import logging
 import os
 import tempfile
 
@@ -28,10 +29,15 @@ def run_sliced_checkpointed(run, tensors, num_sliced, output_shape, field,
     """
     import jax.numpy as jnp
 
+    from .lowering import physical_shape
+
     total = 2 ** num_sliced
     chunk = chunk or max(1, total // 8)
     start = 0
-    acc = field.zeros(output_shape)
+    # the runner accumulates in FLAT physical form (d0, prod(rest)), not the
+    # logical output shape — a logical-shaped init broadcasts wrong for any
+    # >=3-dim output
+    acc = field.zeros(physical_shape(output_shape))
     if path and os.path.exists(path):
         saved = np.load(path)
         start = int(saved["next_slice"])
@@ -50,8 +56,14 @@ def run_sliced_checkpointed(run, tensors, num_sliced, output_shape, field,
                 else:
                     acc_host = np.asarray(acc_new)
                 break
-            except Exception:
+            except (TypeError, ValueError):
+                # deterministic trace/shape errors: retrying cannot help
+                raise
+            except Exception as e:
                 attempt += 1
+                logging.getLogger(__name__).warning(
+                    "slice chunk [%d, %d) failed (attempt %d/%d): %r",
+                    start, stop, attempt, max_retries, e)
                 if attempt > max_retries:
                     raise
         acc = acc_new

@@ -96,8 +96,12 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
     tn = ctree.tn
     dim_of = {b: int(d) for b, d in tn.bond_dims.items()}
     bonds = {t: list(bs) for t, bs in tn.tensor_bonds.items()}
+    # tn.final_qubits is qubit-indexed: final_qubits[q] = tensor id of
+    # qubit q's batch axis.  Do NOT sort — simplify()'s renumbering need
+    # not be monotone in qubit order (contract() re-inserts host tensors
+    # at the dict end), and sorting silently permutes the amplitudes.
     final_qubits = list(tn.final_qubits)
-    if isinstance(tn.final_qubits, (set, frozenset)):
+    if isinstance(tn.final_qubits, (set, frozenset)):  # legacy callers
         final_qubits = sorted(final_qubits)
     qubit_of_tensor = {tid: q for q, tid in enumerate(final_qubits)}
     n_qubits = len(final_qubits)

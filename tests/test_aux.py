@@ -265,3 +265,35 @@ def test_rescaled_sparse_matches_plain(sparse_scheme):
     amps = field.unwrap(tensor).reshape(-1) * 10.0 ** float(factor)
     for amp, bs in zip(amps, bits_sorted):
         assert abs(amp - want[int(bs, 2)]) < 1e-8, bs
+
+
+def test_checkpoint_multileg_dense_output(tmp_path):
+    """Checkpointed dense contraction with a >=3-leg logical output: the
+    accumulator must use the FLAT physical shape the runner produces
+    (regression: a logical-shape init crashed at trace time for any
+    multi-dim output, breaking the CLI --checkpoint dense path)."""
+    from artensor_tpu.runtime.checkpoint import run_sliced_checkpointed
+
+    n, layers = random_circuit(2, 2, 4, seed=3)
+    c = TensorNetworkCircuit((n, layers))  # open outputs: 2^4 amplitudes
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("normal")
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, sc_target=3, **PLAN_KW)
+    assert len(sliced) >= 1
+    steps, out_bonds = contraction_scheme(ctree)
+    assert len(out_bonds) == n >= 3
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    axes = build_slicing_axes(tb2, sliced)
+    out_shape = (2,) * len(out_bonds)
+    run = jax.jit(make_sliced_runner(
+        execute_dense, steps, axes, len(sliced), out_shape, field))
+    ckpt = str(tmp_path / "acc.npz")
+    acc = run_sliced_checkpointed(run, staged, len(sliced), out_shape, field,
+                                  ckpt, chunk=1)
+    got = field.unwrap(acc).reshape(out_shape)
+    # compare against the plain (non-checkpointed) run
+    want = field.unwrap(run(staged)).reshape(out_shape)
+    assert np.abs(got - want).max() < 1e-12

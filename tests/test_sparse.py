@@ -83,3 +83,42 @@ def test_sparse_duplicate_bitstrings_deduped():
     assert len(bits) == 2  # unique only
     for amp, bs in zip(np.asarray(res), bits):
         assert abs(amp - want[int(bs, 2)]) < 2e-6
+
+
+NONMONOTONE_QSIM = """3
+0 h 0
+0 h 1
+0 h 2
+1 fs 0 1 0.5 0.2
+1 t 2 0.3
+2 fs 1 2 0.5 0.2
+2 t 0 0.7
+3 x_1_2 0
+3 y_1_2 1
+3 hz_1_2 2
+4 rz 0 0.3
+5 t 0 0.9
+"""
+
+
+def test_nonmonotone_final_qubit_renumbering():
+    """Trailing 1q-gate chains on one qubit make simplify() re-insert that
+    qubit's final tensor at the dict end, so renumbered final-qubit ids are
+    NOT ascending in qubit order.  The sparse scheme must map batch axes by
+    the qubit-indexed final_qubits list, not by sorted tensor id (regression:
+    sorting silently permuted the amplitudes across bitstrings)."""
+    from artensor_tpu.network import NumericalTensorNetwork
+
+    circ = TensorNetworkCircuit(NONMONOTONE_QSIM)
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    _, fq2 = ntn.simplify("sparse")
+    assert fq2 != sorted(fq2), "fixture must exercise non-monotone renumbering"
+
+    sv = circ.state_vec().reshape(-1)
+    bits = [np.binary_repr(i, 3) for i in range(8)]
+    amps, out_bits = quantum_circuit_simulation(
+        NONMONOTONE_QSIM, bits, sc_target=30, trial_num=2, parallel=False,
+        iters=8, mode="complex", dtype=np.complex128)
+    exact = np.array([sv[int(b, 2)] for b in out_bits])
+    assert np.abs(np.asarray(amps) - exact).max() < 1e-12
