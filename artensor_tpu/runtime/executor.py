@@ -145,7 +145,8 @@ def make_sliced_runner(execute, steps, slicing_axes, num_sliced, output_shape,
 
         def body(acc, id_row):
             parts = jax.vmap(one)(id_row)
-            summed = jax.tree.map(lambda p: p.sum(0), parts)
+            summed = (field.sum0(parts) if hasattr(field, "sum0")
+                      else jax.tree.map(lambda p: p.sum(0), parts))
             return field.add(acc, summed), None
 
         acc, _ = lax.scan(body, init, ids.reshape(-1, W), unroll=unroll)

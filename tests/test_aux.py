@@ -125,8 +125,10 @@ def test_field_modes_agree(closed_circuit):
     steps, _ = contraction_scheme(ctree)
     axes = build_slicing_axes(tb2, sliced)
     results = {}
-    for mode in ("split", "complex"):
+    for mode in ("split", "complex", "fused"):
         for algo in ("naive", "karatsuba"):
+            if mode == "fused" and algo == "karatsuba":
+                continue  # fused is one dot; no karatsuba decomposition
             field = make_field(np.complex128, "highest", mode, algo)
             staged = stage_tensors(
                 field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
