@@ -55,40 +55,53 @@ def run_sliced_contraction(tensors, steps, slicing_axes, num_sliced,
     total = 2 ** num_sliced
     run = make_sliced_runner(
         execute, steps, slicing_axes, num_sliced, output_shape, field)
-    if num_sliced == 0 or n_dev == 1 or total % n_dev != 0:
+    if num_sliced == 0 or n_dev == 1:
         return jax.jit(run)(list(tensors))
 
-    ids = jnp.arange(total, dtype=jnp.int32).reshape(n_dev, total // n_dev)
+    # pad the slice-id grid so EVERY device always participates: repeated
+    # ids are masked to zero contribution (never silently fall back to one
+    # device when 2^k % n_dev != 0)
+    per_dev = -(-total // n_dev)
+    padded = np.arange(n_dev * per_dev, dtype=np.int32)
+    mask = (padded < total).astype(np.float32)
+    ids = jnp.asarray(np.minimum(padded, total - 1).reshape(n_dev, per_dev))
+    masks = jnp.asarray(mask.reshape(n_dev, per_dev))
 
-    def worker(local_ids, *arrays):
+    def worker(local_ids, local_mask, *arrays):
         # the accumulator varies per device (different slice chunks):
         # mark it varying over the mesh axis for the scan carry
         init = field.pvary(field.zeros(physical_shape(output_shape)), axis_name)
-        partial_acc = run(list(arrays), local_ids.reshape(-1), init=init)
+        partial_acc = run(list(arrays), local_ids.reshape(-1), init=init,
+                          weights=local_mask.reshape(-1))
         return field.psum(partial_acc, axis_name)
 
     shard = jax.shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(axis_name),) + _tensor_specs(tensors, P()),
+        in_specs=(P(axis_name), P(axis_name)) + _tensor_specs(tensors, P()),
         out_specs=_tensor_specs([tensors[0]], P())[0],
     )
-    return jax.jit(shard)(ids, *tensors)
+    return jax.jit(shard)(ids, masks, *tensors)
 
 
 def dispatch_batches(make_runner, batch_plans, devices=None):
     """Host-level second parallel axis: run per-batch-group programs on
     different devices concurrently (sparse mode groups have different static
-    gather plans, so they are distinct XLA programs by construction).
+    gather plans, so they are distinct XLA programs by construction —
+    'batch' is the second shardable axis besides 'slice', SURVEY.md §2.9 P3).
 
-    ``make_runner(plan) -> callable()`` builds the jitted program for one
-    group; dispatch is async (jax arrays are futures), so devices overlap.
+    ``make_runner(plan) -> callable(device)``: builds the jitted program for
+    one group and runs it with inputs placed on ``device``.  ALL groups are
+    dispatched before any result is awaited — jax dispatch is async, so the
+    device queues fill and execute concurrently; blocking happens only in
+    the final gather.
     """
     if devices is None:
         devices = jax.devices()
-    results = []
+    pending = []
     for g, plan in enumerate(batch_plans):
         dev = devices[g % len(devices)]
+        runner = make_runner(plan)
         with jax.default_device(dev):
-            results.append(make_runner(plan)())
-    return results
+            pending.append(runner(dev))          # async: returns futures
+    return [jax.block_until_ready(r) for r in pending]

@@ -121,7 +121,9 @@ def make_sliced_runner(execute, steps, slicing_axes, num_sliced, output_shape,
     """
     phys_out = physical_shape(output_shape)
 
-    def run(tensors, slice_ids=None, init=None):
+    def run(tensors, slice_ids=None, init=None, weights=None):
+        """``weights``: optional per-slice-id scale (used by the mesh path
+        to mask padded duplicate ids so every device always participates)."""
         if num_sliced == 0:
             return execute(tensors, steps, field)
         ids = (jnp.arange(2 ** num_sliced, dtype=jnp.int32)
@@ -132,24 +134,38 @@ def make_sliced_runner(execute, steps, slicing_axes, num_sliced, output_shape,
             else 1
 
         if W == 1:
-            def body(acc, sid):
+            def body(acc, sw):
+                sid, w = sw
                 sliced = slice_select(tensors, slicing_axes, sid, num_sliced,
                                       field)
-                return field.add(acc, execute(sliced, steps, field)), None
-            acc, _ = lax.scan(body, init, ids, unroll=unroll)
+                part = execute(sliced, steps, field)
+                if weights is not None:
+                    part = field.scale(part, w)
+                return field.add(acc, part), None
+            wts = (jnp.ones_like(ids, dtype=jnp.float32)
+                   if weights is None else weights)
+            acc, _ = lax.scan(body, init, (ids, wts), unroll=unroll)
             return acc
 
         def one(sid):
             sliced = slice_select(tensors, slicing_axes, sid, num_sliced, field)
             return execute(sliced, steps, field)
 
-        def body(acc, id_row):
+        def body(acc, row):
+            id_row, w_row = row
             parts = jax.vmap(one)(id_row)
+            if weights is not None:
+                parts = jax.tree.map(
+                    lambda p: p * w_row.reshape((-1,) + (1,) * (p.ndim - 1)),
+                    parts)
             summed = (field.sum0(parts) if hasattr(field, "sum0")
                       else jax.tree.map(lambda p: p.sum(0), parts))
             return field.add(acc, summed), None
 
-        acc, _ = lax.scan(body, init, ids.reshape(-1, W), unroll=unroll)
+        wts = (jnp.ones_like(ids, dtype=jnp.float32)
+               if weights is None else weights)
+        acc, _ = lax.scan(body, init, (ids.reshape(-1, W), wts.reshape(-1, W)),
+                          unroll=unroll)
         return acc
 
     return run

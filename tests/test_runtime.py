@@ -239,3 +239,87 @@ def test_hyperedge_with_slicing_on_hyperbond():
     want = np.einsum(arrays[0], [0, 2], arrays[1], [0, 1, 2],
                      arrays[2], [1, 2], [])
     assert abs(got - complex(want)) < 1e-12
+
+
+def test_sharded_sparse_matches_single_device():
+    """Sparse (big-batch) executor sharded over 8 virtual devices == the
+    single-device run, including a slice count that does NOT divide the
+    device count (padded duplicate ids must be masked, never silently
+    falling back to one device)."""
+    from artensor_tpu.circuits.random_circuits import random_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.parallel import make_mesh, run_sliced_contraction
+    from artensor_tpu.planner import find_order
+    from artensor_tpu.runtime.executor import make_sliced_runner, stage_tensors
+    from artensor_tpu.runtime.sparse import (
+        contraction_scheme_sparse,
+        execute_sparse,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    n, layers = random_circuit(3, 3, 6, seed=21)
+    c = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    rng = np.random.default_rng(3)
+    bits = [np.binary_repr(b, n) for b in rng.choice(2 ** n, 40, replace=False)]
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, max_bitstrings=40, sc_target=6,
+        trials=2, iters=5, betas=np.linspace(3, 21, 10), slicing_repeat=1,
+        parallel=False)
+    # force a slice count that does not divide 8: add bonds until 2^k = 32
+    while len(ctree.tn.sliced) < 5:
+        cands = ctree.slice_candidates()
+        if not cands:
+            break
+        ctree.slicing(sorted(cands, key=str)[0])
+    sliced = list(ctree.tn.sliced.keys())
+    k = len(sliced)
+    steps, ob, bits_sorted = contraction_scheme_sparse(ctree, bits, sc_target=6)
+    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    arrays = stage_tensors(FIELD, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    out_shape = (len(bits_sorted),)
+    single = FIELD.unwrap(jax.jit(make_sliced_runner(
+        execute_sparse, steps, axes, k, out_shape, FIELD))(arrays)).reshape(-1)
+    # 2^5 = 32 slices over a 5-device mesh: 32 % 5 != 0 -> padded ids
+    mesh5 = make_mesh(5)
+    sharded5 = FIELD.unwrap(run_sliced_contraction(
+        arrays, steps, axes, k, out_shape, mesh5,
+        field=FIELD, execute=execute_sparse)).reshape(-1)
+    mesh8 = make_mesh(8)
+    sharded8 = FIELD.unwrap(run_sliced_contraction(
+        arrays, steps, axes, k, out_shape, mesh8,
+        field=FIELD, execute=execute_sparse)).reshape(-1)
+    assert np.abs(single - sharded5).max() < 1e-12
+    assert np.abs(single - sharded8).max() < 1e-12
+    want = c.state_vec().reshape(-1)
+    for amp, bs in zip(single, bits_sorted):
+        assert abs(amp - want[int(bs, 2)]) < 1e-10
+
+
+def test_dispatch_batches_concurrent():
+    """Batch groups (distinct compiled programs) land on different devices
+    and all dispatches are issued before any result is gathered."""
+    from artensor_tpu.parallel import dispatch_batches
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    devices_seen = []
+
+    def make_runner(plan):
+        scale = plan
+
+        def runner(dev):
+            x = jax.device_put(jnp.arange(16.0) * scale, dev)
+            devices_seen.append(dev)
+            return jax.jit(lambda v: (v * v).sum())(x)
+
+        return runner
+
+    results = dispatch_batches(make_runner, [1.0, 2.0, 3.0, 4.0])
+    want = (np.arange(16.0) ** 2).sum()
+    for g, r in enumerate(results):
+        assert abs(float(r) - want * (g + 1) ** 2) < 1e-6
+    assert len(set(devices_seen)) >= 4  # spread over devices
