@@ -84,6 +84,51 @@ def run_sliced_contraction(tensors, steps, slicing_axes, num_sliced,
     return jax.jit(shard)(ids, masks, *tensors)
 
 
+def run_output_sharded(tensors, steps, slicing_axes, d_out, k_sum,
+                       local_output_shape, mesh, field=None,
+                       execute=execute_dense, axis_name="slice"):
+    """Dense full-amplitude contraction with the OUTPUT sharded over the mesh.
+
+    The first ``d_out`` entries of ``slicing_axes`` select open output legs:
+    each assignment of those legs yields a DISJOINT block of the full
+    amplitude tensor, so blocks are computed on different devices and
+    concatenated (sharded on axis 0), never summed.  The remaining ``k_sum``
+    sliced bonds are genuine memory slices, scanned and accumulated per
+    block as usual.  This is how a 2^30-amplitude Sycamore output that
+    cannot fit one chip's HBM spreads over a pod (each device holds
+    2^(30-d_out) amplitudes; reference analogue: the notebook's monolithic
+    full-state contraction, /root/reference/examples/sycamore.ipynb cell 5).
+
+    Returns the global array: logical shape (2**d_out,) + local_output_shape,
+    sharded over the mesh on axis 0.
+    """
+    field = field or make_field()
+    n_dev = int(np.prod(mesh.devices.shape))
+    total_out = 2 ** d_out
+    assert total_out % n_dev == 0, "output blocks must divide the mesh"
+    run = make_sliced_runner(
+        execute, steps, slicing_axes, d_out + k_sum, local_output_shape, field)
+    out_ids = jnp.arange(total_out, dtype=jnp.int32).reshape(
+        n_dev, total_out // n_dev)
+
+    def worker(dev_out_ids, *arrays):
+        def one(oid):
+            ids = oid * (2 ** k_sum) + jnp.arange(2 ** k_sum, dtype=jnp.int32)
+            # the accumulator differs per device: mark it mesh-varying
+            init = field.pvary(
+                field.zeros(physical_shape(local_output_shape)), axis_name)
+            return run(list(arrays), ids, init=init)
+        return jax.lax.map(one, dev_out_ids.reshape(-1))
+
+    shard = jax.shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=(P(axis_name),) + _tensor_specs(tensors, P()),
+        out_specs=_tensor_specs([tensors[0]], P(axis_name))[0],
+    )
+    return jax.jit(shard)(out_ids, *tensors)
+
+
 def dispatch_batches(make_runner, batch_plans, devices=None):
     """Host-level second parallel axis: run per-batch-group programs on
     different devices concurrently (sparse mode groups have different static

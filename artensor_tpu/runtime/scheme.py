@@ -79,6 +79,10 @@ def contraction_scheme(ctree):
     bond_order = {}  # id(node) -> tuple of bond labels of its result axes
     steps = []
     output_bonds = ()
+    if ctree.root.is_leaf():
+        # degenerate single-tensor network (everything simplified away):
+        # no steps; the staged tensor IS the result
+        return steps, list(tn.tensor_bonds[ctree.root.leaf_id])
     for v in internal_nodes_in_execution_order(ctree):
         for child in (v.left, v.right):
             if child.is_leaf():

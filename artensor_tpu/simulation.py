@@ -58,6 +58,21 @@ def _qubit_of(bond):
     return int(str(bond).split("-")[1])
 
 
+def _bond_sort_key(bond):
+    """Output-leg ordering key: the encoded qubit for wire-style labels
+    '{step}-{qubit}', else the label itself (the reference notebook's
+    integer edge labels, SURVEY.md §1, sort naturally; arbitrary labels
+    sort as strings).  Generic labels must never crash the output
+    permutation (reference-parity entry point robustness)."""
+    s = str(bond)
+    parts = s.split("-")
+    if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+        return (0, int(parts[1]), 0)
+    if isinstance(bond, (int, np.integer)):
+        return (0, int(bond), 0)
+    return (1, 0, s)
+
+
 class TensorNetworkSimulation:
     """Stateful pipeline: simplify -> plan -> compile -> contract."""
 
@@ -137,9 +152,11 @@ class TensorNetworkSimulation:
         batched = self.final_qubits if self.pattern == "sparse" else ()
         self.slicing_axes = ex.build_slicing_axes(
             self.tensor_bonds, self.slicing_bonds, batched_tensors=batched)
-        # output permutation: sort open legs into qubit order
-        qubit_order = [_qubit_of(b) for b in self.output_bonds]
-        perm = tuple(np.argsort(qubit_order)) if qubit_order else ()
+        # output permutation: sort open legs into qubit order (generic
+        # labels sort naturally instead of crashing)
+        keys = [_bond_sort_key(b) for b in self.output_bonds]
+        perm = (tuple(sorted(range(len(keys)), key=keys.__getitem__))
+                if keys else ())
         if self.pattern == "sparse":
             perm = (0,) + tuple(p + 1 for p in perm)
         self.permute_dims = perm
@@ -229,6 +246,187 @@ class TensorNetworkSimulation:
         if scientific_notation:
             return result, float(np.asarray(factor))
         return result
+
+
+def _dense_shard_setup(sim, d_out):
+    """Obtain (steps, axes, chosen, output_bonds, k_sum, restore) for an
+    output-sharded dense contraction.
+
+    Uses the pre-sliced plan from :meth:`prepare_output_sharded` when one
+    matches; otherwise slices ``d_out`` open legs of the existing planned
+    tree post hoc and recompiles (fine at small scale — but note the
+    planner could not push sc below the full output size that way, so
+    large outputs should plan with ``prepare_output_sharded``).
+    """
+    from .runtime import executor as ex
+    from .runtime import scheme as sch
+
+    assert sim.pattern == "normal", "output sharding is a dense-mode feature"
+    plan = getattr(sim, "_shard_plan", None)
+    if plan is not None and plan["d_out"] == d_out:
+        return (plan["steps"], plan["axes"], plan["chosen"],
+                plan["output_bonds"], plan["k_sum"], lambda: None)
+    tn = sim.ctree.tn
+    open_bonds = [b for b, ts in tn.bond_tensors.items() if len(ts) == 1]
+    open_bonds.sort(key=_bond_sort_key)
+    assert len(open_bonds) >= d_out, "fewer open legs than requested shards"
+    chosen = open_bonds[:d_out]
+    for b in chosen:
+        sim.ctree.slicing(b)
+    steps, output_bonds = sch.contraction_scheme(sim.ctree)
+    axes = ex.build_slicing_axes(
+        sim.tensor_bonds, chosen + sim.slicing_bonds)
+
+    def restore():
+        for b in reversed(chosen):
+            sim.ctree.add_bond(b)
+
+    return steps, axes, chosen, output_bonds, len(sim.slicing_bonds), restore
+
+
+def _dense_shard_perm(chosen, output_bonds):
+    """Permutation taking (chosen qubits + local legs) to qubit order."""
+    keys = [_bond_sort_key(b) for b in chosen] + \
+        [_bond_sort_key(b) for b in output_bonds]
+    return tuple(sorted(range(len(keys)), key=keys.__getitem__))
+
+
+def _sharded_methods():
+    """Attach output-sharding methods to TensorNetworkSimulation."""
+
+    def prepare_output_sharded(self, d_out, config=None, **overrides):
+        """Plan the dense contraction with ``d_out`` output legs PRE-sliced.
+
+        In dense mode the planner cannot push sc below the full output size
+        (the root tensor IS the output and open legs must not be sliced-
+        and-summed); removing ``d_out`` output legs first lets the memory
+        budget apply to each 2^(n-d_out) block.  This is the scale path for
+        outputs exceeding one chip's HBM (Sycamore n30's 2^30 state,
+        /root/reference/examples/sycamore.ipynb cell 5)."""
+        from .runtime import executor as ex
+        from .runtime import scheme as sch
+
+        assert self.pattern == "normal"
+        if config is None:
+            config = PlannerConfig(**overrides)
+        self.config = config
+        bt = get_bond_tensors(self.tensor_bonds)
+        open_bonds = sorted((b for b, ts in bt.items() if len(ts) == 1),
+                            key=_bond_sort_key)
+        assert len(open_bonds) >= d_out
+        chosen = open_bonds[:d_out]
+        chosen_set = set(chosen)
+        tb = {t: [b for b in bs if b not in chosen_set]
+              for t, bs in self.tensor_bonds.items()}
+        bd = {b: d for b, d in self.bond_dims.items() if b not in chosen_set}
+        order, sliced, ctree = find_order(
+            tb, bd, self.final_qubits, max_bitstrings=self.max_bitstrings,
+            sc_target=config.sc_target, trials=config.trials,
+            iters=config.iters, betas=list(config.betas),
+            slicing_repeat=config.slicing_repeat,
+            start_seed=config.start_seed, alpha=config.alpha,
+            parallel=config.parallel)
+        steps, output_bonds = sch.contraction_scheme(ctree)
+        axes = ex.build_slicing_axes(self.tensor_bonds, chosen + sliced)
+        self.ctree = ctree
+        self.order = order
+        self.slicing_bonds = list(sliced)
+        self._shard_plan = {"d_out": d_out, "chosen": chosen, "steps": steps,
+                            "output_bonds": output_bonds, "axes": axes,
+                            "k_sum": len(sliced)}
+        return self
+
+    def contraction_output_sharded(self, mesh, d_out=None,
+                                   dtype=np.complex64, precision="highest",
+                                   mode="split"):
+        """Dense full amplitudes with the output sharded over ``mesh``.
+
+        Each device computes 2^(n - d_out) amplitudes (its block of the
+        output tensor); blocks concatenate over the mesh — this is how an
+        output too large for one chip's HBM (e.g. Sycamore n30's 8 GB
+        state) spreads across a pod.  Returns the FULL 2^n tensor in qubit
+        order (gathered to host).
+        """
+        import jax
+
+        from .ops.field import make_field
+        from .parallel import run_output_sharded
+        from .runtime import executor as ex
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        if d_out is None:
+            d_out = max(1, int(np.ceil(np.log2(n_dev))))
+        field = make_field(dtype, precision, mode)
+        steps, axes, chosen, output_bonds, k_sum, restore = _dense_shard_setup(
+            self, d_out)
+        try:
+            staged = ex.stage_tensors(
+                field, [self.tensors[i] for i in range(len(self.tensors))])
+            local_shape = (2,) * len(output_bonds)
+            res = run_output_sharded(
+                staged, steps, axes, d_out, k_sum,
+                local_shape, mesh, field=field)
+            out = field.unwrap(res).reshape((2,) * d_out + local_shape)
+            return out.transpose(_dense_shard_perm(chosen, output_bonds))
+        finally:
+            restore()
+
+    def contraction_output_blocks(self, d_out, dtype=np.complex64,
+                                  precision="highest", mode="split",
+                                  postprocess=None):
+        """Generator over the 2^d_out disjoint output blocks on ONE device.
+
+        Yields ``(fixed_bits, qubits, block)``: the chosen output qubits,
+        their fixed bit assignment (MSB first), and the block of amplitudes
+        for the remaining qubits in qubit order.  Lets a single chip walk
+        an output too large for its HBM (and the host validate/stream
+        blocks without ever holding the full state).
+
+        ``postprocess(field, oid, value)``: optional ON-DEVICE reduction of
+        each block before it is pulled to the host (e.g. select the
+        amplitudes being validated, or accumulate a norm) — yields its
+        unwrapped result as ``block`` instead of the full 2^(n-d) tensor.
+        ``value`` is the field-typed FLAT physical block.
+        """
+        import jax
+
+        from .ops.field import make_field
+        from .runtime import executor as ex
+
+        field = make_field(dtype, precision, mode)
+        steps, axes, chosen, output_bonds, k, restore = _dense_shard_setup(
+            self, d_out)
+        try:
+            staged = ex.stage_tensors(
+                field, [self.tensors[i] for i in range(len(self.tensors))])
+            local_shape = (2,) * len(output_bonds)
+            run = jax.jit(ex.make_sliced_runner(
+                ex.execute_dense, steps, axes, d_out + k, local_shape, field))
+            import jax.numpy as jnp
+
+            qubits = [_bond_sort_key(b)[1] for b in chosen]
+            lkeys = [_bond_sort_key(b) for b in output_bonds]
+            local_perm = tuple(sorted(range(len(lkeys)), key=lkeys.__getitem__))
+            for oid in range(2 ** d_out):
+                ids = jnp.arange(oid * 2 ** k, (oid + 1) * 2 ** k,
+                                 dtype=jnp.int32)
+                raw = run(staged, ids)
+                bits = np.binary_repr(oid, d_out)
+                if postprocess is not None:
+                    yield bits, qubits, field.unwrap(postprocess(
+                        field, oid, raw))
+                    continue
+                block = field.unwrap(raw).reshape(local_shape)
+                yield bits, qubits, block.transpose(local_perm)
+        finally:
+            restore()
+
+    TensorNetworkSimulation.prepare_output_sharded = prepare_output_sharded
+    TensorNetworkSimulation.contraction_output_sharded = contraction_output_sharded
+    TensorNetworkSimulation.contraction_output_blocks = contraction_output_blocks
+
+
+_sharded_methods()
 
 
 def tensor_network_contraction(tensors, tensor_bonds, bond_dims, final_qubits,

@@ -299,3 +299,71 @@ def test_checkpoint_multileg_dense_output(tmp_path):
     # compare against the plain (non-checkpointed) run
     want = field.unwrap(run(staged)).reshape(out_shape)
     assert np.abs(got - want).max() < 1e-12
+
+
+def test_linear_xeb_estimators():
+    from artensor_tpu.utils.xeb import linear_xeb, xeb_against_ground_truth
+
+    n, layers = random_circuit(3, 4, 10, seed=9)
+    c = TensorNetworkCircuit((n, layers))
+    psi = c.state_vec().reshape(-1)
+    p = np.abs(psi) ** 2
+    rng = np.random.default_rng(0)
+    # bitstrings sampled from the ideal distribution -> F ~ 1
+    samp = rng.choice(2 ** n, size=4000, p=p)
+    f_ideal = linear_xeb(psi[samp], n, sampled=True)
+    assert 0.7 < f_ideal < 1.4
+    # uniformly random bitstrings -> F ~ 0
+    unif = rng.integers(0, 2 ** n, size=4000)
+    f_unif = linear_xeb(psi[unif], n, sampled=True)
+    assert abs(f_unif) < 0.3
+    # second-moment self-check on a uniform batch of a PT state ~ 1
+    f2 = linear_xeb(psi[unif], n, sampled=False)
+    assert 0.5 < f2 < 1.8
+    stats = xeb_against_ground_truth(psi[samp], psi[samp])
+    assert stats["correct_ratio"] == 1.0
+
+
+def test_slicing_fidelity_one_config():
+    """Keeping ONE of 2^k slice configurations yields a state of fidelity
+    ~ 1/2^k against the true state (reference notebook cell 7)."""
+    from artensor_tpu.runtime.executor import (
+        execute_dense,
+        make_sliced_runner,
+        stage_tensors,
+    )
+    from artensor_tpu.utils.xeb import sliced_fidelity_estimate, state_fidelity
+    import jax.numpy as jnp
+
+    n, layers = random_circuit(2, 3, 8, seed=17)
+    c = TensorNetworkCircuit((n, layers))
+    want = c.state_vec().reshape(-1)
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("normal")
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, sc_target=n + 1, **PLAN_KW)
+    while len(ctree.tn.sliced) < 2:
+        cands = ctree.slice_candidates()
+        if not cands:
+            break
+        ctree.slicing(sorted(cands, key=str)[0])
+    sliced = list(ctree.tn.sliced.keys())
+    k = len(sliced)
+    assert k >= 2
+    steps, out_bonds = contraction_scheme(ctree)
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    axes = build_slicing_axes(tb2, sliced)
+    out_shape = (2,) * len(out_bonds)
+    run = jax.jit(make_sliced_runner(execute_dense, steps, axes, k,
+                                     out_shape, field))
+    full = field.unwrap(run(staged)).reshape(-1)
+    one_cfg = field.unwrap(
+        run(staged, jnp.arange(1, dtype=jnp.int32))).reshape(-1)
+    # sanity: summing all slices reproduces a normalized state (axis order
+    # is the scheme's, so compare norms, not amplitudes)
+    assert abs(np.linalg.norm(full) - np.linalg.norm(want)) < 1e-10
+    f = state_fidelity(one_cfg, full)
+    est = sliced_fidelity_estimate(k)
+    assert est / 4 < f < est * 4, (f, est)

@@ -245,3 +245,33 @@ def test_find_order_native_engine():
         tb, dims, sc_target=30, trials=2, iters=3,
         betas=np.linspace(3, 21, 5), engine="native")
     _check_valid_order(order, 4)
+
+
+def test_parallel_pool_matches_serial():
+    """The multiprocessing trial pool (fork/spawn selection,
+    annealing.py) returns a plan as good as the serial path and the plan
+    is valid — previously zero coverage on the pool branch."""
+    from artensor_tpu.planner.annealing import simulate_annealing
+    from artensor_tpu.planner.tree import clone_network
+
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    kw = dict(sc_target=5.0, trials=3, iters=6,
+              betas=list(np.linspace(3, 21, 10)), slicing_repeat=1,
+              start_seed=0)
+    order_p, sliced_p = simulate_annealing(clone_network(tn), parallel=True, **kw)
+    order_s, sliced_s = simulate_annealing(clone_network(tn), parallel=False, **kw)
+    # identical seeds => identical deterministic result through the pool
+    assert order_p == order_s
+    assert sliced_p == sliced_s
+    _check_valid_order(order_p, 9)
+
+
+def test_greedy_max_reduce_strategy():
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    g = GreedyOrderFinder(tn)
+    order, tc, sc = g("max_reduce", 1)
+    _check_valid_order(order, 9)
+    tree = ContractionTree(tn, order)
+    got_tc, got_sc, _ = tree.complexity()
+    assert got_sc == sc
+    assert got_tc == pytest.approx(tc, abs=1e-9)

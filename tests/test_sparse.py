@@ -17,6 +17,9 @@ from artensor_tpu.runtime.sparse import (
 from artensor_tpu.simulation import quantum_circuit_simulation
 
 REF_N12 = "/root/reference/tests/circuit_n12_m14_s0_e0_pEFGH.qsim"
+if not os.path.exists(REF_N12):  # self-contained fallback fixture
+    REF_N12 = os.path.join(os.path.dirname(__file__),
+                           "data", "circuit_n12_rcs.qsim")
 
 
 def test_bit_helpers_roundtrip():
