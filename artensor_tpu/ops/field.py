@@ -282,6 +282,10 @@ class FusedField:
             ro = plan.re_out
             if ro.mode == "transpose":
                 out = out.reshape(ro.dims).transpose(ro.perm)
+            elif ro.perm[-1] == len(ro.dims) - 1 and len(ro.dims) > 1:
+                rows = int(np.prod(ro.dims[:-1]))
+                idx = _element_indices(ro.dims[:-1], ro.perm[:-1])
+                out = jnp.take(out.reshape((rows, ro.dims[-1])), idx, axis=0)
             else:
                 idx = _element_indices(ro.dims, ro.perm)
                 out = jnp.take(out.reshape((idx.shape[0],)), idx, axis=0)

@@ -114,11 +114,17 @@ def _sa_worker(payload):
 
 def simulate_annealing(tn, sc_target=-1, trials=10, iters=50,
                        betas=np.linspace(0.1, 10, 100), slicing_repeat=4,
-                       start_seed=0, alpha=32.0, parallel=True):
+                       start_seed=0, alpha=32.0, parallel=True,
+                       rank="flops"):
     """Run ``trials`` independent SA chains; return (order, slicing_bonds).
 
     ``parallel`` uses a fork-based process pool (planner is numpy-only, so
     forking is safe even with jax initialized in the parent).
+
+    ``rank``: how the winning trial is chosen — 'flops' (total log-flops,
+    reference-compatible) or 'roofline' (predicted TPU wall seconds under
+    the measured compute/HBM roofline, cost.tree_roofline_seconds — ranks
+    memory-bound plans the way the chip actually runs them).
     """
     greedy = GreedyOrderFinder(tn)
     betas = list(betas)
@@ -151,8 +157,19 @@ def simulate_annealing(tn, sc_target=-1, trials=10, iters=50,
                 results = pool.map(_sa_worker, payloads)
     if results is None:
         results = [_sa_worker(p) for p in payloads]
-    # rank by log10(total flops over all 2^k slices) = per-slice tc + k*log10(2)
-    best = min(results, key=lambda r: r[0][1] + len(r[1][1]) * LOG10_2)
+    if rank == "roofline":
+        from .cost import plan_roofline_seconds
+
+        def key(r):
+            order, sliced = r[1]
+            t = clone_network(tn)
+            for b in sliced:
+                t.slicing(b)
+            return plan_roofline_seconds(ContractionTree(t, order))
+        best = min(results, key=key)
+    else:
+        # log10(total flops over all 2^k slices) = per-slice tc + k*log10(2)
+        best = min(results, key=lambda r: r[0][1] + len(r[1][1]) * LOG10_2)
     order, sliced = best[1]
     return order, list(sliced)
 
@@ -201,6 +218,7 @@ def find_order(tensor_bonds, bond_dims, final_qubits=(), seed=0,
                          betas=np.linspace(0.1, 10, 100), slicing_repeat=4,
                          start_seed=0, alpha=32.0)
         na_kwargs.update(sa_kwargs)
+        na_kwargs.pop("rank", None)  # trial ranking is a python-path feature
         order, slicing_bonds = _native_annealing(
             clone_network(tn), na_kwargs["sc_target"], na_kwargs["trials"],
             na_kwargs["iters"], na_kwargs["betas"],

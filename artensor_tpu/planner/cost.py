@@ -39,6 +39,41 @@ def score(tc, sc, mc, sc_target=30.0, alpha=32.0, sc_weight=2.0):
     return body + sc_weight * LOG10_2 * max(0.0, sc - sc_target)
 
 
+# Measured hardware envelope of the target chip (one v5e core through the
+# axon tunnel, round-2 microbenchmarks): dense f32(HIGHEST) matmul rate and
+# HBM stream rate.  One complex64 mul-add = 8 real flops (naive 4-dot).
+TPU_COMPLEX_MULADD_PER_S = 27e12 / 8.0
+TPU_HBM_BYTES_PER_S = 230e9
+
+
+def tree_roofline_seconds(tree, bytes_per_elem=8.0,
+                          muladds_per_s=TPU_COMPLEX_MULADD_PER_S,
+                          bytes_per_s=TPU_HBM_BYTES_PER_S):
+    """Predicted per-slice wall seconds under a two-resource roofline.
+
+    Each contraction step costs max(compute, HBM traffic) where traffic =
+    reading both operands + writing the result once (the fused minimum).
+    Unlike the pure log-flop score, this exposes the memory-bound
+    tall-skinny steps that dominate real TPU wall clock (a measured 9%-
+    fewer-flops plan ran 27% slower; an sc21 plan with 40% fewer flops ran
+    ~10x slower — flops alone cannot rank plans on this hardware).
+    """
+    total = 0.0
+    for v in tree.nodes_root_to_leaves():
+        if v.is_leaf():
+            continue
+        compute = (2.0 ** v.tc) / muladds_per_s
+        traffic = bytes_per_elem * (
+            2.0 ** v.left.sc + 2.0 ** v.right.sc + 2.0 ** v.sc) / bytes_per_s
+        total += max(compute, traffic)
+    return total
+
+
+def plan_roofline_seconds(tree):
+    """Whole-plan prediction: per-slice roofline x 2^(#sliced bonds)."""
+    return tree_roofline_seconds(tree) * 2.0 ** len(tree.tn.sliced)
+
+
 def leaf_cost(tn, tensor_id):
     """(tc, sc, mfactor) of a leaf: no FLOPs, storage = its bonds (+ batch)."""
     mfactor = min(tn.log2_max_bitstring, float(tn.num_fq[tensor_id]))

@@ -88,6 +88,11 @@ class Reorder:
 def plan_reorder(label_dims, perm_labels, final_shape):
     dims, perm = collapse_runs(tuple(label_dims), tuple(perm_labels))
     mode = "transpose" if _prod(dims) <= TRANSPOSE_MAX_ELEMS else "gather"
+    if mode == "gather" and perm[-1] != len(dims) - 1 \
+            and _prod(dims) >= (1 << 31):
+        # element-gather indices are int32; a moving minor run on a >=2^31
+        # buffer can only run as a (padded) transpose
+        mode = "transpose"
     return Reorder(mode, dims, perm, tuple(final_shape))
 
 
@@ -115,6 +120,16 @@ def _element_indices(dims, perm):
 def apply_reorder(field, x, r):
     if r.mode == "transpose":
         return field.regroup(x, r.dims, r.perm, r.final_shape)
+    if r.perm[-1] == len(r.dims) - 1 and len(r.dims) > 1:
+        # stationary minor run: gather whole rows — also the only valid
+        # form for >=2^31-element buffers (element indices are int32)
+        rows = _prod(r.dims[:-1])
+        assert rows < (1 << 31), "row count must fit int32"
+        idx = _element_indices(r.dims[:-1], r.perm[:-1])
+        view = field.reshape(x, (rows, r.dims[-1]))
+        return field.reshape(field.take(view, idx, axis=0), r.final_shape)
+    assert _prod(r.dims) < (1 << 31), \
+        "element gather requires <2^31 elements; re-plan with a transpose"
     idx = _element_indices(r.dims, r.perm)
     flat = field.reshape(x, (idx.shape[0],))
     return field.reshape(field.take(flat, idx, axis=0), r.final_shape)

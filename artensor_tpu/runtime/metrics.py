@@ -35,6 +35,41 @@ def scheme_flops(steps, complex_algo="naive"):
     return total
 
 
+def step_traffic_bytes(low, bytes_per_elem=4.0, split_components=2):
+    """Minimum HBM bytes of one lowered step (read operands + write result),
+    plus the reorder pass when the step carries one (gathers cost ~2x a
+    streaming pass)."""
+    from .lowering import _prod
+
+    n_ops = _prod(low.shape_l) + _prod(low.shape_r) + _prod(low.phys_y)
+    total = n_ops * bytes_per_elem * split_components
+    if low.re_out is not None:
+        extra = _prod(low.re_out.dims) * bytes_per_elem * split_components
+        total += extra * (2 if low.re_out.mode == "transpose" else 4)
+    return total
+
+
+def scheme_roofline_seconds(steps, muladds_per_s=None, bytes_per_s=None,
+                            complex_algo="naive"):
+    """Per-slice wall-clock prediction from the LOWERED scheme: each step
+    costs max(compute, traffic).  More faithful than the planner-tree
+    roofline (it sees reorders and chunked gathers), but still blind to
+    XLA-internal relayouts — treat as a lower bound and portfolio-rank by
+    measurement for final plan selection (docs/BENCH_NOTES.md)."""
+    from ..planner.cost import TPU_HBM_BYTES_PER_S
+
+    flops_rate = muladds_per_s or (27e12 / 2.0)   # real flops/s
+    byte_rate = bytes_per_s or TPU_HBM_BYTES_PER_S
+    total = 0.0
+    for s in steps:
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        for low in lows:
+            total += max(step_flops(low, complex_algo) / flops_rate,
+                         step_traffic_bytes(low) / byte_rate)
+    return total
+
+
 def reorder_census(steps):
     census = {"none": 0, "transpose": 0, "gather": 0}
     for s in steps:

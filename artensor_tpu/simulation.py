@@ -228,7 +228,14 @@ class TensorNetworkSimulation:
                 run = jax.jit(ex.make_sliced_runner(
                     execute, self.steps, self.slicing_axes, k, out_shape,
                     field, slice_batch=slice_batch))
-                result = run(arrays)
+                if report is not None:
+                    # AOT split so the report separates compile from run
+                    with mt.Timer() as ct:
+                        compiled = run.lower(arrays).compile()
+                    report.compile_s = ct.elapsed
+                    result = compiled(arrays)
+                else:
+                    result = run(arrays)
             result = field.unwrap(result).reshape(out_shape)
         if profiler is not None:
             profiler.__exit__(None, None, None)

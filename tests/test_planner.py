@@ -275,3 +275,28 @@ def test_greedy_max_reduce_strategy():
     got_tc, got_sc, _ = tree.complexity()
     assert got_sc == sc
     assert got_tc == pytest.approx(tc, abs=1e-9)
+
+
+def test_roofline_ranking():
+    """rank='roofline' selects by predicted TPU wall seconds; the model
+    charges memory-bound steps by traffic, not flops."""
+    from artensor_tpu.planner.annealing import simulate_annealing
+    from artensor_tpu.planner.cost import (
+        plan_roofline_seconds,
+        tree_roofline_seconds,
+    )
+    from artensor_tpu.planner.tree import clone_network
+
+    tn = make_tn(HYPER_EQ, HYPER_SHAPES)
+    kw = dict(sc_target=5.0, trials=3, iters=6,
+              betas=list(np.linspace(3, 21, 10)), slicing_repeat=1,
+              start_seed=0, parallel=False)
+    order, sliced = simulate_annealing(clone_network(tn), rank="roofline", **kw)
+    _check_valid_order(order, 9)
+    t = clone_network(tn)
+    for b in sliced:
+        t.slicing(b)
+    tree = ContractionTree(t, order)
+    assert plan_roofline_seconds(tree) > 0
+    assert tree_roofline_seconds(tree) * 2 ** len(sliced) == \
+        pytest.approx(plan_roofline_seconds(tree))
