@@ -130,8 +130,15 @@ def main():
         "unit": "s",
         "vs_baseline": round(TORCH_CPU_BASELINE_S / wall, 2),
     }))
+    from artensor_tpu.runtime import metrics as mt
+    flops = (2 ** k) * mt.scheme_flops(steps, "naive")
+    roofline = (2 ** k) * mt.scheme_roofline_seconds(steps)
     print(f"# compile+first-run {compile_s:.1f}s; correctness 100% <=5% rel err; "
           f"max rel {rel.max():.2e}; mean rel {rel.mean():.2e}", file=sys.stderr)
+    print(f"# sustained {flops / wall / 1e12:.2f} TFLOP/s-real "
+          f"({flops / wall / 27e12 * 100:.1f}% of measured f32 matmul peak); "
+          f"roofline lower bound {roofline:.2f}s -> {roofline / wall * 100:.0f}% "
+          f"of roofline achieved", file=sys.stderr)
 
 
 if __name__ == "__main__":
