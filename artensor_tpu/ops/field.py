@@ -47,6 +47,9 @@ class SplitField:
         self.storage = storage
         self.sdtype = {"bf16": jnp.bfloat16, "f16": jnp.float16}.get(
             storage, self.rdtype)
+        # eligible steps run the Pallas lane kernel (f32/c64 path only)
+        self.supports_lanes = (storage == "f32"
+                               and self.rdtype == jnp.float32)
 
     def _store(self, x):
         return x if self.sdtype == self.rdtype else x.astype(self.sdtype)

@@ -31,6 +31,11 @@ def stage_tensors(field, arrays):
 
 
 def apply_dense_step(field, x, y, s):
+    if getattr(s, "lane", None) is not None \
+            and getattr(field, "supports_lanes", False):
+        from .lanes import apply_lane_step
+
+        return apply_lane_step(field, x, y, s.lane)
     return apply_lowered(field, x, y, s.lowered)
 
 
@@ -39,7 +44,7 @@ def execute_dense(tensors, steps, field):
     bufs = list(tensors)
     last = 0
     for s in steps:
-        bufs[s.i] = apply_lowered(field, bufs[s.i], bufs[s.j], s.lowered)
+        bufs[s.i] = apply_dense_step(field, bufs[s.i], bufs[s.j], s)
         bufs[s.j] = None  # free for XLA liveness
         last = s.i
     return bufs[last]

@@ -27,6 +27,7 @@ class DenseStep:
     dims_i: tuple
     dims_j: tuple
     lowered: Lowered
+    lane: object = None   # LanePlan when the step runs on the Pallas path
 
 
 def _relabel(ix_i, ix_j, iy):
@@ -60,20 +61,27 @@ def internal_nodes_in_execution_order(ctree):
     return out
 
 
-def make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j):
+def make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j, lane=None):
     ix_i2, ix_j2, iy2 = _relabel(ix_i, ix_j, iy)
     low = lower_step(ix_i2, ix_j2, iy2, tuple(dims_i), tuple(dims_j))
     return DenseStep(i, j, ix_i2, ix_j2, iy2,
-                     tuple(dims_i), tuple(dims_j), low)
+                     tuple(dims_i), tuple(dims_j), low, lane)
 
 
-def contraction_scheme(ctree):
+def contraction_scheme(ctree, lane_schedule=True):
     """Dense (full-amplitude) scheme.
 
     Returns ``(steps, output_bonds)``: the steps list and the bond labels of
     the final result tensor (open legs), in the axis order the executor will
     produce.
+
+    With ``lane_schedule`` (default), each step's output leg order is chosen
+    so the *parent* step finds its contract legs lane-resident, and eligible
+    steps get a Pallas LanePlan attached (runtime/lanes.py).  Steps whose
+    lane plan is infeasible revert to the transpose-free preferred order.
     """
+    from .lanes import schedule_step
+
     tn = ctree.tn
     dims = {b: int(d) for b, d in tn.bond_dims.items()}
     bond_order = {}  # id(node) -> tuple of bond labels of its result axes
@@ -83,6 +91,10 @@ def contraction_scheme(ctree):
         # degenerate single-tensor network (everything simplified away):
         # no steps; the staged tensor IS the result
         return steps, list(tn.tensor_bonds[ctree.root.leaf_id])
+    parent = {}
+    for v in internal_nodes_in_execution_order(ctree):
+        parent[id(v.left)] = v
+        parent[id(v.right)] = v
     for v in internal_nodes_in_execution_order(ctree):
         for child in (v.left, v.right):
             if child.is_leaf():
@@ -95,13 +107,30 @@ def contraction_scheme(ctree):
         else:
             i, j = v.right.rep, v.left.rep
             ix_i, ix_j = ix_right, ix_left
-        # output order = the dot_general's natural order: zero transposes
-        iy = preferred_output_order(ix_i, ix_j, set(v.boundary.keys()))
-        assert set(iy) == set(v.boundary.keys())
+        yset = set(v.boundary.keys())
+        dims_i = [dims[b] for b in ix_i]
+        dims_j = [dims[b] for b in ix_j]
+        lane = None
+        iy = None
+        if lane_schedule:
+            p = parent.get(id(v))
+            if p is not None:
+                sib = p.right if p.left is v else p.left
+                sib_bonds = (set(tn.tensor_bonds[sib.leaf_id])
+                             if sib.is_leaf() else set(sib.boundary.keys()))
+                consumer_contract = ((yset | sib_bonds)
+                                     - set(p.boundary.keys()))
+            else:
+                consumer_contract = set()
+            iy, lane = schedule_step(ix_i, ix_j, yset, dims_i, dims_j,
+                                     consumer_contract)
+        if iy is None:
+            # output order = the dot_general's natural order: no transposes
+            iy = preferred_output_order(ix_i, ix_j, yset)
+        assert set(iy) == yset
         bond_order[id(v)] = iy
-        steps.append(make_dense_step(
-            i, j, ix_i, ix_j, iy,
-            [dims[b] for b in ix_i], [dims[b] for b in ix_j]))
+        steps.append(make_dense_step(i, j, ix_i, ix_j, iy,
+                                     dims_i, dims_j, lane))
         if v is ctree.root:
             output_bonds = iy
     return steps, list(output_bonds)

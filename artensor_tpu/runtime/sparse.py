@@ -46,6 +46,7 @@ class SparseStep:
     post_select: object      # cross: row-index array or None
     lowered: object          # Lowered (non-chunked) or None
     lowered_chunks: tuple | None  # aligned: one Lowered per chunk
+    lane: object = None      # LanePlan when the step runs on the Pallas path
 
 
 def _bits_to_ints(bits):
@@ -77,7 +78,38 @@ def _relabel(*index_lists):
     return tuple(tuple(lab[b] for b in ix) for ix in index_lists)
 
 
-def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
+def _consumer_contract_map(order, tensor_bonds):
+    """Per-step: the contract-leg set of the step that CONSUMES its output.
+
+    Contract sets depend only on bond membership (not on chosen axis
+    orders), so this pre-pass is exact for the second, order-choosing pass.
+    """
+    bonds = {t: list(bs) for t, bs in tensor_bonds.items()}
+    contracted_at = []
+    for i, j in order:
+        common = set(bonds[i]) & set(bonds[j])
+        still = {
+            b for b in common
+            if any(b in bonds[t] for t in bonds if t not in (i, j) and bonds[t])
+        }
+        contracted = common - still
+        new_bonds = [b for b in bonds[i] if b not in contracted]
+        new_bonds += [b for b in bonds[j]
+                      if b not in contracted and b not in new_bonds]
+        bonds[i], bonds[j] = new_bonds, []
+        contracted_at.append(contracted)
+    consumer = [set() for _ in order]
+    producer = {}
+    for t, (i, j) in enumerate(order):
+        for o in (i, j):
+            if o in producer:
+                consumer[producer[o]] = contracted_at[t]
+        producer[i] = t
+    return consumer
+
+
+def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
+                              lane_schedule=True):
     """Compile the big-batch scheme.
 
     Parameters
@@ -117,28 +149,69 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
         else:
             info[tid] = ([], np.array([-1], dtype=np.int64))
 
+    consumer_contract = _consumer_contract_map(order, tn.tensor_bonds) \
+        if lane_schedule else None
     steps = []
     last = None
-    for i, j in order:
+    for t, (i, j) in enumerate(order):
         bond_i, bond_j = bonds[i], bonds[j]
         common = sorted(set(bond_i) & set(bond_j), key=str)
         still_used = {
             b for b in common
-            if any(b in bonds[t] for t in bonds if t not in (i, j) and bonds[t])
+            if any(b in bonds[t2] for t2 in bonds if t2 not in (i, j) and bonds[t2])
         }
         contracted = [b for b in common if b not in still_used]
-        # NOTE: output bond order is in principle a free choice for
-        # non-cross steps, but adopting the dot's "natural" order here was
-        # MEASURED SLOWER end-to-end (2.49s vs 2.19s on the n30 bench):
-        # the residual-order reorders place data consumption-friendly for
-        # later steps.  Layout assignment is a global problem; keep the
-        # reference-compatible residual order.
+        # Residual output order (reference-compatible) by default; the lane
+        # scheduler below overrides it for steps it can place on the Pallas
+        # path (runtime/lanes.py), putting the consumer's contract legs
+        # lane-resident.  (Round-1 note: adopting the dot's "natural" order
+        # blindly was measured SLOWER, 2.49s vs 2.19s — order choices must
+        # be deliberate, which is exactly what the lane scheduler does.)
         new_bonds = [b for b in bond_i if b not in contracted]
         new_bonds += [b for b in bond_j if b not in contracted and b not in new_bonds]
-        bonds[i], bonds[j] = new_bonds, []
 
         q_i, rep_i = info[i]
         q_j, rep_j = info[j]
+        lane = None
+        # the lane scheduler covers unbatched steps and pass-steps whose
+        # BATCHED side is the bigger operand (batch stays the leading row
+        # leg); both-batched (cross/aligned) steps keep their fixed orders
+        if lane_schedule and bond_i and bond_j and new_bonds \
+                and not (q_i and q_j):
+            from .lanes import schedule_step
+
+            BT = "#sched-batch"
+            dims_bi0 = [dim_of[b] for b in bond_i]
+            dims_bj0 = [dim_of[b] for b in bond_j]
+            axi, axj = tuple(bond_i), tuple(bond_j)
+            di, dj = tuple(dims_bi0), tuple(dims_bj0)
+            yset = set(new_bonds)
+            batched = bool(q_i) or bool(q_j)
+            if q_i:
+                axi = (BT, *axi)
+                di = (len(rep_i), *di)
+                yset = yset | {BT}
+            elif q_j:
+                axj = (BT, *axj)
+                dj = (len(rep_j), *dj)
+                yset = yset | {BT}
+            from .lanes import _prod as _lprod
+
+            big_is_i = _lprod(di) >= _lprod(dj)
+            batched_is_small = (bool(q_i) and not big_is_i) \
+                or (bool(q_j) and big_is_i)
+            if not (batched and batched_is_small):
+                # batched-big steps pin the batch axis as the leading
+                # grid leg (the batch-first convention is load-bearing:
+                # gathers, cross reshapes and the final output assume it)
+                pin = 1 if (batched and big_is_i == bool(q_i)) else 0
+                iy_hint, lane = schedule_step(axi, axj, yset, di, dj,
+                                              consumer_contract[t], pin=pin)
+                if not batched or iy_hint[0] == BT:
+                    new_bonds = [b for b in iy_hint if b != BT]
+                else:
+                    lane = None   # batch would move off the leading axis
+        bonds[i], bonds[j] = new_bonds, []
         merged_q = sorted(q_i + q_j)
         gathers = reshape = None
         post_select = None
@@ -231,9 +304,15 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31):
         else:
             lowered = lower_step(ix_i, ix_j, iy, dims_i, dims_j)
             lowered_chunks = None
+            if lane is None and lane_schedule:
+                # batched pass/cross steps can still be lane-eligible with
+                # their fixed (batch-leading) output order
+                from .lanes import plan_lane_step
+
+                lane = plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j)
         steps.append(SparseStep(i, j, ix_i, ix_j, iy,
                                 gathers, reshape, post_select,
-                                lowered, lowered_chunks))
+                                lowered, lowered_chunks, lane))
         info[i] = (merged_q, rep)
         last = i
 
@@ -254,7 +333,12 @@ def apply_sparse_step(field, x, y, s):
             for (gi, gj), low in zip(s.gathers, s.lowered_chunks)
         ]
         return parts[0] if len(parts) == 1 else field.concat(parts, axis=0)
-    out = apply_lowered(field, x, y, s.lowered)
+    if s.lane is not None and getattr(field, "supports_lanes", False):
+        from .lanes import apply_lane_step
+
+        out = apply_lane_step(field, x, y, s.lane)
+    else:
+        out = apply_lowered(field, x, y, s.lowered)
     if s.reshape is not None:
         out = field.reshape(out, s.reshape)
     if s.post_select is not None:
