@@ -9,29 +9,33 @@ separate re/im combine passes (profile: 0.75s copies + 0.59s combines +
 The lane discipline attacks all three at once.  Every tensor is flat with
 a known LEG ORDER (always true in this runtime); this module additionally
 CHOOSES each step's output leg order so that the *consumer's* contract
-legs sit in the LEADING ("lane") legs.  A step whose big operand X has its
-contract legs lane-resident becomes
+legs form a lane run at one END of the buffer.  A step whose big operand
+X has its contract legs lane-resident becomes
 
-    one (H, L<=256) x (L, rows) real matmul per re/im product,
+    one (H, L<=256) x (L, rows) full-MXU real matmul per re/im product:
 
-a full-MXU K=L dot: the small operand W is expanded (by a tiny traced
-gather) into a block-diagonal "lane matrix" WpT that contracts the
-lane-resident bond values while PRESERVING lane-resident free legs
-(block-diagonal over them), and re/im are combined in VMEM inside one
-Pallas kernel — X is read from HBM exactly once, the output written
-exactly once, and no relayout copies are possible (the kernel pins
-layouts).  Measured on the dominant n30 step shape: 12.7 ms (XLA
-multi-dim dots) -> 2.1 ms (fused lane kernel, 512 GB/s effective).
+the small operand W is expanded (by a tiny traced gather) into a
+block-diagonal "lane matrix" Wp that contracts the lane-resident bond
+values while PRESERVING lane-resident free legs, and re/im are combined
+in VMEM inside one Pallas kernel — X is read from HBM exactly once, the
+output written exactly once, and no relayout copies are possible (the
+kernel pins layouts).  Measured on the dominant n30 step shape: 12.7 ms
+(XLA multi-dim dots) -> 2.1 ms (fused lane kernel, 512 GB/s effective).
 
-Lanes are the LEADING legs (not trailing) deliberately: delivering a
-lane-friendly layout sometimes needs an explicit reorder on the producing
-step, and a move-legs-to-FRONT permutation keeps the buffer's minor run
-intact (large contiguous transfers on both sides), whereas moving small
-dim-2 legs to the back degenerates into 4-byte-granular scatters.
+TWO ORIENTATIONS, because a contraction chain grows contract legs at both
+ends of the accumulated buffer:
 
-Contract legs still in X's ROWS are handled by a static combo loop
+  head   lanes = LEADING legs; output (H, rows...): fresh legs leading.
+  tail   lanes = TRAILING legs; output (rows..., H): fresh legs trailing.
+
+In both, every row leg outside the single protected free run ("f", the
+blocked DMA axis) is a GRID leg: the kernel's output index map places it
+anywhere in the output order (block-granular permutation for free), which
+is how consumer-contract legs are hoisted to an end even from deep inside
+X's rows.  Contract legs still in rows are handled by a static combo loop
 (<= COMBO_CAP index combinations, each a VMEM slice + accumulated dot).
-Steps that do not fit (both operands big, amplitude-batch axes, chunked
+
+Steps that do not fit (both operands big, shared batch labels, chunked
 gathers, oversized Wp) fall back to the existing multi-dim dot_general
 lowering — the representation (flat buffer + leg order) is identical, so
 both paths mix freely inside one scheme.
@@ -48,12 +52,13 @@ from operator import mul
 import numpy as np
 
 LANE_CAP = 256        # max lane-leg product of the big operand
-H_CAP = 512           # max output lane product (block-diag free x N)
+H_CAP = 1024          # max output lane product (block-diag free x N)
 COMBO_CAP = 16        # max row-contract index combinations
-WP_ELEMS_CAP = 1 << 18   # max elements of the expanded lane matrix (VMEM)
+WP_ELEMS_CAP = 1 << 19   # max elements of the expanded lane matrix (VMEM)
 MIN_X_ELEMS = 1 << 16    # below this, XLA overhead is irrelevant: fall back
 SMALL_W_ELEMS = 1 << 13  # "small operand" bound
 BLOCK_ELEMS = 1 << 18    # target X-block elements per kernel program
+F_MIN = 1 << 30              # min elements of the protected free run
 
 # chip envelope (measured, one v5e core): dense f32 HIGHEST matmul rate and
 # the streaming rate the lane kernel itself achieves.  A lane plan is only
@@ -63,18 +68,21 @@ BLOCK_ELEMS = 1 << 18    # target X-block elements per kernel program
 MXU_FLOPS_PER_S = 28.6e12
 HBM_BYTES_PER_S = 450e9
 ROOFLINE_SLACK = 2.5
+# orientations the scheduler may use; 'tail' plans measured break-even at
+# best on the n30 chain (block-diagonal waste at stranded-leg steps), so
+# the default is head-only until the marginal-plan cost model is tighter
+ORIENTATIONS = ("head",)
 
 
 def _prod(xs):
     return reduce(mul, xs, 1)
 
 
-def _leading_splits(ix_x, dim_of):
-    """Candidate lane splits: (count, L) per leading-leg prefix with
-    product <= LANE_CAP."""
+def _lane_splits(legs, dim_of):
+    """Candidate lane sizes: (count, L) per run with product <= LANE_CAP."""
     out = []
     L = 1
-    for k, l in enumerate(ix_x):
+    for k, l in enumerate(legs):
         L *= dim_of[l]
         if L > LANE_CAP:
             break
@@ -89,7 +97,7 @@ def _split_big_small(ix_i, ix_j, dims_i, dims_j):
 
 
 def fallback_output_order(ix_i, ix_j, iy_set, dims_i, dims_j,
-                          consumer_contract=()):
+                          consumer_contract=(), pinned=()):
     """Output order for steps that execute on the XLA path.
 
     Unconstrained by the kernel's lane/row structure, so ALL of the
@@ -103,8 +111,10 @@ def fallback_output_order(ix_i, ix_j, iy_set, dims_i, dims_j,
 
     base = preferred_output_order(ix_i, ix_j, iy_set, dims_i, dims_j)
     cset = set(consumer_contract)
-    return tuple([l for l in base if l in cset]
-                 + [l for l in base if l not in cset])
+    pset = set(pinned)
+    return tuple(list(pinned)
+                 + [l for l in base if l in cset and l not in pset]
+                 + [l for l in base if l not in cset and l not in pset])
 
 
 @dataclass(frozen=True)
@@ -112,53 +122,71 @@ class LanePlan:
     """Static metadata for one Pallas-executed step."""
 
     w_is_j: bool
-    view_x: tuple        # X view: leading L + rows axes (trailing run last)
+    orient: str          # 'head' (lanes leading) | 'tail' (lanes trailing)
+    view_x: tuple        # X view dims, storage order
     combo_axes: tuple    # indices into view_x of looped row-contract legs
-    x_axes: tuple        # per rows-axis: ('c', leg)|('g', leg)|('f', None)
-    y_axes: tuple        # output axes in iy order: ('g', leg)|('H',)|('f',)
-    block: int           # block size along the trailing free run
+    x_axes: tuple        # per view axis: ('g',leg)|('c',leg)|('L',)|('f',)
+    y_axes: tuple        # output axes in iy order: ('g',leg)|('H',)|('f',)
+    block: int           # block size along the protected free run
     L: int
     H: int
     n_combos: int
-    wp_idx: object       # (n_combos, H, L) int32 numpy gather into w_flat
-    wp_sign: object      # (n_combos, H, L) float32 mask
-    view_y: tuple        # output: leading H + non-combo rows axes
+    wp_idx: object       # int32 numpy gather into w_flat:
+                         #   head (n_combos, H, L); tail (n_combos, L, H)
+    wp_sign: object      # float32 mask, same shape
+    view_y: tuple        # output view dims (iy order)
     dims_y: tuple        # logical output dims (iy order)
     flops: int           # real flops (4-dot naive) for cost reporting
-    est_s: float         # roofline estimate (ranks candidate splits)
+    est_s: float         # roofline estimate (ranks candidates)
 
 
-def plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j, lane_count=None, pin=0):
+LAST_REJECT = None
+
+
+def _rej(msg):
+    """Record why the most recent plan_lane_step call rejected (debug)."""
+    global LAST_REJECT
+    LAST_REJECT = msg
+    return None
+
+
+def plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j, lane_count=None, pin=0,
+                   orient="head"):
     """Build a LanePlan for the step, or None if ineligible.
 
-    ``lane_count`` pins the lane split (the run of X legs after the first
-    ``pin`` pinned legs); default tries every split and keeps the one with
-    the best roofline estimate.  ``pin`` leading X legs (e.g. a sparse
-    amplitude-batch axis) stay leading grid legs in the output.
+    ``lane_count`` pins the lane run length (legs after the ``pin`` pinned
+    prefix for 'head', trailing legs for 'tail'); default tries every
+    split x orientation and keeps the best roofline estimate.  ``pin``
+    leading X legs (e.g. a sparse amplitude-batch axis) stay leading grid
+    legs in the output.
     """
     if lane_count is None:
         best = None
         _b, ix_x0, dims_x0, _w, _dw = _split_big_small(
             ix_i, ix_j, dims_i, dims_j)
         dox = {l: int(d) for l, d in zip(ix_x0, dims_x0)}
-        for k, _L in _leading_splits(ix_x0[pin:], dox):
-            p = plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j,
-                               lane_count=k, pin=pin)
-            if p is not None and (best is None or p.est_s < best.est_s):
-                best = p
+        for o in ORIENTATIONS:
+            legs = ix_x0[pin:] if o == "head" else tuple(reversed(ix_x0))
+            for k, _L in _lane_splits(legs, dox):
+                if o == "tail" and k > len(ix_x0) - pin:
+                    break
+                p = plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j,
+                                   lane_count=k, pin=pin, orient=o)
+                if p is not None and (best is None or p.est_s < best.est_s):
+                    best = p
         return best
     # w_is_j True <=> operand i is the big X side and j is the small W side
     w_is_j, ix_x, dims_x, ix_w, dims_w = _split_big_small(
         ix_i, ix_j, dims_i, dims_j)
     if _prod(dims_x) < MIN_X_ELEMS or _prod(dims_w) > SMALL_W_ELEMS:
-        return None
+        return _rej("size")
     set_x, set_w, set_y = set(ix_x), set(ix_w), set(iy)
     if set_x & set_w & set_y:
-        return None  # shared batch-like labels: fall back
+        return _rej("shared-batch")
     contract = [l for l in ix_x if l in set_w and l not in set_y]
     n_legs = [l for l in ix_w if l in set_y]
     if set(ix_w) != set(contract) | set(n_legs) or len(set_y) != len(iy):
-        return None
+        return _rej("w-legs")
     dim_of = {}
     for l, d in zip(ix_x, dims_x):
         dim_of[l] = int(d)
@@ -167,28 +195,31 @@ def plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j, lane_count=None, pin=0):
 
     pinned = list(ix_x[:pin])
     if any(l not in set_y for l in pinned):
-        return None
-    lane_legs = list(ix_x[pin:pin + lane_count])
+        return _rej("pinned-contracted")
+    if orient == "head":
+        lane_legs = list(ix_x[pin:pin + lane_count])
+    else:
+        if lane_count > len(ix_x) - pin:
+            return _rej("lanes-hit-pin")
+        lane_legs = list(ix_x[len(ix_x) - lane_count:])
     L = _prod(dim_of[l] for l in lane_legs)
     if L > LANE_CAP:
-        return None
+        return _rej("L-cap")
     lane_set = set(lane_legs)
     row_legs = [l for l in ix_x if l not in lane_set]
     combo_legs = [l for l in row_legs if l in contract]
     n_combos = _prod(dim_of[l] for l in combo_legs)
     if n_combos > COMBO_CAP:
-        return None
+        return _rej("combos")
     lane_free = [l for l in lane_legs if l not in contract]
     rows_free = [l for l in row_legs if l not in contract]
     H = _prod(dim_of[l] for l in lane_free) * _prod(dim_of[l] for l in n_legs)
     if H > H_CAP or n_combos * L * H > WP_ELEMS_CAP:
-        return None
-    # iy must be a permutation of lane_free+new, then rows_free in order
-    if len(rows_free) and tuple(iy[-len(rows_free):]) != tuple(rows_free):
-        return None
-    h_legs = list(iy[:len(iy) - len(rows_free)])
-    if set(h_legs) != set(lane_free) | set(n_legs):
-        return None
+        return _rej("H-cap")
+    hset = set(lane_free) | set(n_legs)
+    h_legs = [l for l in iy if l in hset]
+    if len(h_legs) != len(hset):
+        return _rej("iy-h")
 
     # roofline gate: padded MXU time must not dominate the stream time
     rows_total = _prod(dim_of[l] for l in rows_free)
@@ -198,10 +229,73 @@ def plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j, lane_count=None, pin=0):
     traffic_s = 4 * (2 * x_elems + 2 * rows_total * H
                      + 2 * n_combos * L * H) / HBM_BYTES_PER_S
     if compute_s > ROOFLINE_SLACK * traffic_s:
-        return None
+        return _rej("roofline")
     est_s = max(compute_s, traffic_s)
 
-    # ---- wpT gather construction (host, numpy) --------------------------
+    # ---- structural iy checks -------------------------------------------
+    combo_set = set(combo_legs)
+    rest_rows = [l for l in row_legs if l not in set(pinned)]
+    if tuple(iy[:pin]) != tuple(pinned):
+        return _rej("iy-pin")
+    if orient == "head":
+        # f run = longest iy SUFFIX kept in X's row order; combo legs at
+        # X's very end sit BEYOND the f run (they are full in the block,
+        # so DMA contiguity passes straight through them)
+        skip = 0
+        while (skip < len(rest_rows)
+               and rest_rows[-(skip + 1)] in combo_set):
+            skip += 1
+        rr = rest_rows[:len(rest_rows) - skip]
+        n_f = 0
+        while (n_f < len(rr) and n_f < len(iy)
+               and iy[-(n_f + 1)] == rr[-(n_f + 1)]
+               and rr[-(n_f + 1)] not in combo_set):
+            n_f += 1
+        f_legs = rr[len(rr) - n_f:] if n_f else []
+        head = list(iy[:len(iy) - n_f])
+    else:
+        # f run = longest iy run (right after the pin) kept in X row
+        # order; combo legs at X's very front sit before it
+        skip = 0
+        while skip < len(rest_rows) and rest_rows[skip] in combo_set:
+            skip += 1
+        rr = rest_rows[skip:]
+        n_f = 0
+        while (n_f < len(rr) and pin + n_f < len(iy)
+               and iy[pin + n_f] == rr[n_f]
+               and rr[n_f] not in combo_set):
+            n_f += 1
+        f_legs = rr[:n_f]
+        head = list(iy[:pin]) + list(iy[pin + n_f:])
+    if not f_legs:
+        return _rej("no-f-run")
+    F = _prod(dim_of[l] for l in f_legs)
+    grid_legs = pinned + [l for l in rest_rows
+                          if l not in combo_set and l not in set(f_legs)]
+    h_pos = [k for k, l in enumerate(head) if l in hset]
+    if h_pos and h_pos[-1] - h_pos[0] + 1 != len(h_pos):
+        return _rej("h-contig")
+    if set(head) - hset != set(grid_legs):
+        return _rej("head-set")
+    inner_budget = max(1, BLOCK_ELEMS // max(n_combos * L, 1))
+    block = max(1, min(F, inner_budget))
+    while F % block:
+        block -= 1
+    if block < 128 and (grid_legs or combo_legs):
+        return _rej("block-small")
+    # Mosaic block rules: PARTIAL dims in the last two block positions
+    # need %8 (second-minor) / %128 (minor); FULL dims are exempt;
+    # SQUEEZED ('g') axes must not occupy the last two positions.  The
+    # blocked f axis is minor for 'head' (needs %128 unless full) and
+    # leading for 'tail' (needs %8 when second-minor).
+    if orient == "head":
+        if block != F and block % 128:
+            return _rej("tile-div")
+    else:
+        if block != F and block % 8:
+            return _rej("tile-div")
+
+    # ---- wp gather construction (host, numpy) ---------------------------
     lane_c = [l for l in lane_legs if l in contract]
     w_strides = {}
     s = 1
@@ -230,84 +324,79 @@ def plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j, lane_count=None, pin=0):
                           _digits(ci, [dim_of[l] for l in combo_legs]))) \
         if combo_legs else {}
 
-    idx = np.zeros((n_combos, H, L), dtype=np.int64)
-    mask = np.ones((n_combos, H, L), dtype=np.float32)
-    for l in lane_c:
-        idx += lane_vals[l][None, None, :] * w_strides[l]
-    for l in combo_legs:
-        idx += combo_vals[l][:, None, None] * w_strides[l]
-    for l in n_legs:
-        idx += h_vals[l][None, :, None] * w_strides[l]
-    for l in lane_free:
-        mask = mask * (lane_vals[l][None, None, :]
-                       == h_vals[l][None, :, None]).astype(np.float32)
+    # head: wp (n_combos, H, L) used as wp @ v; tail: (n_combos, L, H)
+    if orient == "head":
+        ldim, hdim = 2, 1
+        shape = (n_combos, H, L)
+    else:
+        ldim, hdim = 1, 2
+        shape = (n_combos, L, H)
+    idx = np.zeros(shape, dtype=np.int64)
+    mask = np.ones(shape, dtype=np.float32)
 
-    # ---- view / blocking -------------------------------------------------
-    # Kernel values must stay 2-D (L, block) — Mosaic cannot merge dims
-    # across the lane boundary.  The trailing free run of X becomes the
-    # blocked axis; every OTHER row leg is either a combo leg (full in
-    # block, statically indexed in-kernel) or a GRID leg (block 1).  Grid
-    # legs can be placed ANYWHERE in the output order by the out index
-    # map — that is how the consumer's contract legs get hoisted to the
-    # leading end even when they live in X's rows.
-    combo_set = set(combo_legs)
-    # non-pinned row legs after the lane run; trailing free run = the
-    # contiguous free legs at the very end of X
-    rest_rows = [l for l in row_legs if l not in set(pinned)]
-    # the trail = longest suffix of X's rows kept in place by iy (free
-    # legs only; stops naturally at combo legs, which never appear in iy)
-    n_trail = 0
-    while (n_trail < len(rest_rows) and n_trail < len(iy)
-           and iy[-(n_trail + 1)] == rest_rows[-(n_trail + 1)]
-           and rest_rows[-(n_trail + 1)] not in combo_set):
-        n_trail += 1
-    trail_legs = rest_rows[len(rest_rows) - n_trail:] if n_trail else []
-    F = _prod(dim_of[l] for l in trail_legs)
-    grid_legs = pinned + [l for l in rest_rows
-                          if l not in combo_set and l not in set(trail_legs)]
-    if F < 128 and (grid_legs or combo_legs):
-        return None   # tiny inner blocks: DMA-inefficient, keep on XLA
-    # iy structure: pinned legs first; then any permutation of
-    # (grid_legs + h) with h's legs CONTIGUOUS; trail_legs last in order.
-    if tuple(iy[:pin]) != tuple(pinned):
-        return None
-    if n_trail and tuple(iy[-n_trail:]) != tuple(trail_legs):
-        return None
-    head = list(iy[:len(iy) - n_trail])
-    h_set = set(h_legs)
-    h_pos = [k for k, l in enumerate(head) if l in h_set]
-    if h_pos and h_pos[-1] - h_pos[0] + 1 != len(h_pos):
-        return None
-    if set(head) - h_set != set(grid_legs):
-        return None
-    # output view in iy order: ('g', leg) | ('H',) | ('f',)
+    def _bc(arr, axis):
+        sh = [1, 1, 1]
+        sh[axis] = arr.shape[0]
+        return arr.reshape(sh)
+
+    for l in lane_c:
+        idx += _bc(lane_vals[l], ldim) * w_strides[l]
+    for l in combo_legs:
+        idx += _bc(combo_vals[l], 0) * w_strides[l]
+    for l in n_legs:
+        idx += _bc(h_vals[l], hdim) * w_strides[l]
+    for l in lane_free:
+        mask = mask * (_bc(lane_vals[l], ldim)
+                       == _bc(h_vals[l], hdim)).astype(np.float32)
+
+    # ---- views -----------------------------------------------------------
+    # x view in storage order; exactly one 'f' (blocked) axis; kernel
+    # values stay 2-D after combo indexing and 'g' squeezing.
+    x_axes = []
+    for l in ix_x:
+        if l in lane_set:
+            if not x_axes or x_axes[-1][0] != "L":
+                x_axes.append(("L", None))
+        elif l in set(f_legs):
+            if not x_axes or x_axes[-1][0] != "f":
+                x_axes.append(("f", None))
+        elif l in combo_set:
+            x_axes.append(("c", l))
+        else:
+            x_axes.append(("g", l))
     y_axes = []
     placed_h = False
-    for l in head:
-        if l in h_set:
+    k = 0
+    iy_list = list(iy)
+    while k < len(iy_list):
+        l = iy_list[k]
+        if l in hset:
             if not placed_h:
                 y_axes.append(("H", None))
                 placed_h = True
+            k += 1
+        elif l in set(f_legs):
+            y_axes.append(("f", None))
+            k += len(f_legs)
         else:
             y_axes.append(("g", l))
+            k += 1
     if not placed_h:
         y_axes.append(("H", None))
-    y_axes.append(("f", None))
-    # x view in storage order: pinned g's, the lane run ('L'), then rows
-    x_axes = [("g", l) for l in pinned] + [("L", None)]
-    for l in rest_rows[:len(rest_rows) - n_trail]:
-        x_axes.append(("c" if l in combo_set else "g", l))
-    x_axes.append(("f", None))
-    inner_budget = max(1, BLOCK_ELEMS // max(n_combos * L, 1))
-    block = max(1, min(F, inner_budget))
-    while F % block:
-        block -= 1
+
+    # squeezed ('g') axes must not sit in the last two block positions
+    if [k for k, _l in x_axes[-2:]].count("g"):
+        return _rej("g-in-tile")
+    if [k for k, _l in y_axes[-2:]].count("g"):
+        return _rej("g-in-tile-y")
+
     def _xdim(kind, l):
         if kind == "L":
             return L
         if kind == "f":
             return F
         return dim_of[l]
+
     view_dims = tuple(_xdim(kind, l) for kind, l in x_axes)
     combo_axes = tuple(k for k, (kind, l) in enumerate(x_axes)
                        if kind == "c")
@@ -315,7 +404,7 @@ def plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j, lane_count=None, pin=0):
                    for kind, l in y_axes)
     dims_y = tuple(dim_of[l] for l in iy)
     flops = 4 * 2 * rows_total * L * H * n_combos
-    return LanePlan(w_is_j, view_dims, combo_axes, tuple(x_axes),
+    return LanePlan(w_is_j, orient, view_dims, combo_axes, tuple(x_axes),
                     tuple(y_axes), block, L, H, n_combos,
                     idx.astype(np.int32), mask, view_y, dims_y, flops, est_s)
 
@@ -324,12 +413,11 @@ def schedule_step(ix_i, ix_j, iy_set, dims_i, dims_j, consumer_contract=(),
                   pin=0):
     """Choose the step's output order and (when feasible) its LanePlan.
 
-    For every leading-leg split of the big operand, builds the candidate
-    output order (X's remaining lane-free legs and W's new legs first —
-    the CONSUMER's contract legs leading — then rows in storage order) and
-    keeps the feasible plan with the best roofline estimate.  When no
-    split is feasible the step runs on the XLA path with full order
-    freedom — all consumer-contract legs leading (fallback_output_order).
+    Tries every lane split in BOTH orientations; candidate output orders
+    hoist the consumer's contract legs to the output end matching the
+    orientation (leading for 'head', trailing for 'tail'), with only the
+    protected free run immobile.  When no candidate is feasible the step
+    runs on the XLA path with full order freedom (fallback_output_order).
 
     Returns (iy, plan_or_None).
     """
@@ -348,47 +436,71 @@ def schedule_step(ix_i, ix_j, iy_set, dims_i, dims_j, consumer_contract=(),
             and not (set_x & set_w & iy_set)):
         contract_set = {l for l in ix_x if l in set_w and l not in iy_set}
         pinned = list(ix_x[:pin])
-        for k, _L in _leading_splits(ix_x[pin:], dim_of):
-            lane_legs = list(ix_x[pin:pin + k])
-            lane_set = set(lane_legs)
-            row_legs = [l for l in ix_x[pin:] if l not in lane_set]
-            rows_free = [l for l in row_legs if l in iy_set
-                         and l not in set_w]
-            lane_free = [l for l in lane_legs
-                         if l in iy_set and l not in set_w]
-            # trailing free run stays at the end; everything else is a
-            # grid leg the kernel can place freely — hoist the consumer's
-            # contract legs (h-part AND row-part) to the leading end
-            # NB: consumer-contract legs inside the trailing run stay put
-            # — hoisting a leg that is MINOR to the main free run would
-            # degrade the kernel's DMA to 4-byte-granular reads.  Those
-            # legs are delivered by the XLA fallback path instead.
-            n_trail = 0
-            for l in reversed(row_legs):
-                if l in contract_set:
+        for o in ORIENTATIONS:
+            legs = ix_x[pin:] if o == "head" else tuple(reversed(ix_x))
+            for k, _L in _lane_splits(legs, dim_of):
+                if o == "tail" and k > len(ix_x) - pin:
                     break
-                n_trail += 1
-            trail = row_legs[len(row_legs) - n_trail:] if n_trail else []
-            gables = [l for l in rows_free if l not in set(trail)]
-            h = [l for l in lane_free + new if l in cset]
-            h += [l for l in lane_free + new if l not in cset]
-            head = [l for l in gables if l in cset] + h
-            rest = [l for l in gables if l not in cset]
-            iy_k = tuple(pinned + head + rest + trail)
-            p = plan_lane_step(ix_i, ix_j, iy_k, dims_i, dims_j,
-                               lane_count=k, pin=pin)
-            if p is not None and (best is None or p.est_s < best[1].est_s):
-                best = (iy_k, p)
+                if o == "head":
+                    lane_legs = list(ix_x[pin:pin + k])
+                else:
+                    lane_legs = list(ix_x[len(ix_x) - k:])
+                lane_set = set(lane_legs)
+                row_legs = [l for l in ix_x[pin:] if l not in lane_set]
+                rows_free = [l for l in row_legs if l in iy_set
+                             and l not in set_w]
+                lane_free = [l for l in lane_legs
+                             if l in iy_set and l not in set_w]
+                # protected f run: minimal free run of >= F_MIN elements at
+                # the end OPPOSITE the lanes; everything else is hoistable
+                seq = (list(reversed(row_legs)) if o == "head"
+                       else list(row_legs))
+                skip = 0
+                while skip < len(seq) and seq[skip] in contract_set:
+                    skip += 1
+                n_f = 0
+                fprod = 1
+                for l in seq[skip:]:
+                    if l in contract_set:
+                        break
+                    if fprod >= F_MIN and l in cset:
+                        break
+                    n_f += 1
+                    fprod *= dim_of[l]
+                if o == "head":
+                    f_legs = row_legs[len(row_legs) - skip - n_f:
+                                      len(row_legs) - skip]
+                else:
+                    f_legs = row_legs[skip:skip + n_f]
+                gables = [l for l in rows_free if l not in set(f_legs)]
+                if o == "head":
+                    h = [l for l in lane_free + new if l in cset]
+                    h += [l for l in lane_free + new if l not in cset]
+                    head = [l for l in gables if l in cset] + h
+                    rest = [l for l in gables if l not in cset]
+                    iy_k = tuple(pinned + head + rest + f_legs)
+                else:
+                    h = [l for l in lane_free + new if l not in cset]
+                    h += [l for l in lane_free + new if l in cset]
+                    rest = [l for l in gables if l not in cset]
+                    tail_g = [l for l in gables if l in cset]
+                    iy_k = tuple(pinned + f_legs + rest + tail_g + h)
+                p = plan_lane_step(ix_i, ix_j, iy_k, dims_i, dims_j,
+                                   lane_count=k, pin=pin, orient=o)
+                if p is not None and (best is None
+                                      or p.est_s < best[1].est_s):
+                    best = (iy_k, p)
     if best is not None:
         return best
     return fallback_output_order(ix_i, ix_j, iy_set, dims_i, dims_j,
-                                 consumer_contract), None
+                                 consumer_contract,
+                                 pinned=tuple(ix_x[:pin])), None
 
 
 # -- execution -------------------------------------------------------------
 
 def _build_wp(w_flat, plan):
-    """(n_combos, H, L) lane matrix from the flat W payload (traced, tiny)."""
+    """Lane matrix from the flat W payload (traced, tiny)."""
     import jax.numpy as jnp
 
     idx = jnp.asarray(plan.wp_idx)
@@ -406,20 +518,29 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
                   preferred_element_type=jnp.float32)
     re = im = None
     for c in range(plan.n_combos):
-        digits = []
+        digits = {}
         rem = c
         for k in reversed(plan.combo_axes):
             d = plan.view_x[k]
-            digits.append(rem % d)
+            digits[k] = rem % d
             rem //= d
-        digits.reverse()
-        idx = (slice(None), *digits, slice(None))
-        vr = xr_ref[idx]          # (L, block)
-        vi = xi_ref[idx]
-        wr = wr_ref[c]            # (H, L)
+        idx = []
+        for k, (kind, l) in enumerate(plan.x_axes):
+            if kind in ("L", "f"):
+                idx.append(slice(None))
+            elif kind == "c":
+                idx.append(digits[k])
+            # 'g' axes are squeezed out of the block: no index entry
+        vr = xr_ref[tuple(idx)]   # head: (L, blk); tail: (blk, L)
+        vi = xi_ref[tuple(idx)]
+        wr = wr_ref[c]            # head: (H, L); tail: (L, H)
         wi = wi_ref[c]
-        a, b = dot(wr, vr), dot(wi, vi)
-        cc, d2 = dot(wi, vr), dot(wr, vi)
+        if plan.orient == "head":
+            a, b = dot(wr, vr), dot(wi, vi)
+            cc, d2 = dot(wi, vr), dot(wr, vi)
+        else:
+            a, b = dot(vr, wr), dot(vi, wi)
+            cc, d2 = dot(vr, wi), dot(vi, wr)
         re = a - b if re is None else re + (a - b)
         im = cc + d2 if im is None else im + (cc + d2)
     or_ref[...] = re
@@ -443,8 +564,9 @@ def apply_lane_step(field, x, y, plan, interpret=None):
     xr = xv[0].reshape(plan.view_x)
     xi = xv[1].reshape(plan.view_x)
 
-    F = plan.view_x[-1]
-    # grid: one axis per 'g' (hoisted/placed/pinned) leg, then the F blocks
+    f_axis_x = next(k for k, (kind, l) in enumerate(plan.x_axes)
+                    if kind == "f")
+    F = plan.view_x[f_axis_x]
     g_legs = [l for kind, l in plan.x_axes if kind == "g"]
     g_pos = {l: k for k, l in enumerate(g_legs)}
     grid = tuple(plan.view_x[k]
@@ -472,8 +594,6 @@ def apply_lane_step(field, x, y, plan, interpret=None):
                 out.append(gids[-1])
         return tuple(out)
 
-    # y block: 'g' axes squeezed, 'H' full, 'f' blocked — the index map
-    # places each hoisted leg wherever iy put it (block-level permutation)
     yblock = []
     for kind, l in plan.y_axes:
         if kind == "g":
@@ -494,13 +614,13 @@ def apply_lane_step(field, x, y, plan, interpret=None):
                 out.append(gids[-1])
         return tuple(out)
 
-    wspec = pl.BlockSpec((plan.n_combos, plan.H, plan.L),
+    wspec = pl.BlockSpec(plan.wp_idx.shape,
                          lambda *g: (0, 0, 0), memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec(tuple(xblock), x_index, memory_space=pltpu.VMEM)
     yspec = pl.BlockSpec(tuple(yblock), y_index, memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct(plan.view_y, jnp.float32)
     traffic = 4 * (2 * _prod(plan.view_x) + 2 * _prod(plan.view_y)
-                   + 2 * plan.n_combos * plan.L * plan.H)
+                   + 2 * plan.wp_idx.size)
     yr, yi = pl.pallas_call(
         partial(_kernel, plan=plan),
         grid=grid,

@@ -99,17 +99,19 @@ def _consumer_contract_map(order, tensor_bonds):
         bonds[i], bonds[j] = new_bonds, []
         contracted_at.append(contracted)
     consumer = [set() for _ in order]
+    consumer_idx = [-1] * len(order)
     producer = {}
     for t, (i, j) in enumerate(order):
         for o in (i, j):
             if o in producer:
                 consumer[producer[o]] = contracted_at[t]
+                consumer_idx[producer[o]] = t
         producer[i] = t
-    return consumer
+    return consumer, consumer_idx
 
 
 def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
-                              lane_schedule=True):
+                              lane_schedule=True, _hints=None):
     """Compile the big-batch scheme.
 
     Parameters
@@ -149,8 +151,10 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
         else:
             info[tid] = ([], np.array([-1], dtype=np.int64))
 
-    consumer_contract = _consumer_contract_map(order, tn.tensor_bonds) \
-        if lane_schedule else None
+    consumer_contract = consumer_idx = None
+    if lane_schedule:
+        consumer_contract, consumer_idx = _consumer_contract_map(
+            order, tn.tensor_bonds)
     steps = []
     last = None
     for t, (i, j) in enumerate(order):
@@ -205,8 +209,14 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                 # grid leg (the batch-first convention is load-bearing:
                 # gathers, cross reshapes and the final output assume it)
                 pin = 1 if (batched and big_is_i == bool(q_i)) else 0
+                # deliver consumer-friendly orders only when the consumer
+                # actually lane-plans (fixpoint pass below): a reorder
+                # that buys nothing downstream is pure extra traffic
+                ci = consumer_idx[t]
+                cset_t = consumer_contract[t] \
+                    if (_hints is None or (0 <= ci and _hints[ci])) else ()
                 iy_hint, lane = schedule_step(axi, axj, yset, di, dj,
-                                              consumer_contract[t], pin=pin)
+                                              cset_t, pin=pin)
                 if not batched or iy_hint[0] == BT:
                     new_bonds = [b for b in iy_hint if b != BT]
                 else:
@@ -319,6 +329,18 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     out_reps = info[last][1]
     bitstrings_sorted = ["".join(map(str, row))
                          for row in _ints_to_bits(out_reps, n_qubits)]
+    if lane_schedule and _hints is None:
+        # fixpoint over "which steps lane-plan": recompile with orders
+        # adjusted to whether each consumer actually planned
+        hints = [s.lane is not None for s in steps]
+        for _ in range(3):
+            res = contraction_scheme_sparse(ctree, bitstrings, sc_target,
+                                            lane_schedule, _hints=hints)
+            new_hints = [s.lane is not None for s in res[0]]
+            if new_hints == hints:
+                return res
+            hints = new_hints
+        return res
     return steps, bonds[last], bitstrings_sorted
 
 
