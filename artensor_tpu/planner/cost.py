@@ -40,10 +40,14 @@ def score(tc, sc, mc, sc_target=30.0, alpha=32.0, sc_weight=2.0):
 
 
 # Measured hardware envelope of the target chip (one v5e core through the
-# axon tunnel, round-2 microbenchmarks): dense f32(HIGHEST) matmul rate and
-# HBM stream rate.  One complex64 mul-add = 8 real flops (naive 4-dot).
-TPU_COMPLEX_MULADD_PER_S = 27e12 / 8.0
-TPU_HBM_BYTES_PER_S = 230e9
+# axon tunnel, round-2 microbenchmarks): dense f32(HIGHEST) matmul rate
+# 28.6 TFLOP/s (= 28.6e12/8 complex mul-adds/s with the naive 4-dot split)
+# and ~450 GB/s achieved HBM stream rate (pure streams measure 420-512).
+TPU_COMPLEX_MULADD_PER_S = 28.6e12 / 8.0
+TPU_HBM_BYTES_PER_S = 450e9
+MXU_K_FULL = 128.0      # systolic contraction width: a step contracting
+                        # K < 128 bond values uses only K/128 of the MXU
+STEP_OVERHEAD_S = 3e-6  # per-step dispatch/layout overhead (measured-ish)
 
 
 def tree_roofline_seconds(tree, bytes_per_elem=8.0,
@@ -51,21 +55,28 @@ def tree_roofline_seconds(tree, bytes_per_elem=8.0,
                           bytes_per_s=TPU_HBM_BYTES_PER_S):
     """Predicted per-slice wall seconds under a two-resource roofline.
 
-    Each contraction step costs max(compute, HBM traffic) where traffic =
-    reading both operands + writing the result once (the fused minimum).
-    Unlike the pure log-flop score, this exposes the memory-bound
-    tall-skinny steps that dominate real TPU wall clock (a measured 9%-
-    fewer-flops plan ran 27% slower; an sc21 plan with 40% fewer flops ran
-    ~10x slower — flops alone cannot rank plans on this hardware).
+    Each contraction step costs max(compute, HBM traffic) + overhead:
+    traffic = reading both operands + writing the result once (the fused
+    minimum); compute is discounted by the MXU's contraction-width
+    utilization min(1, K/128) — the round-2 profiling showed the hot
+    steps of flop-optimal plans contract only K in {8..32} bond values,
+    capping the MXU at <= 25% no matter how the executor is written.
+    Unlike the pure log-flop score this exposes both the memory-bound
+    tall-skinny steps AND the small-K penalty that dominate real TPU wall
+    clock (a measured 9%-fewer-flops plan ran 27% slower; an sc21 plan
+    with 40% fewer flops ran ~10x slower).
     """
     total = 0.0
     for v in tree.nodes_root_to_leaves():
         if v.is_leaf():
             continue
-        compute = (2.0 ** v.tc) / muladds_per_s
+        # contract size: tc = log2(all bond product)+mf, sc = log2(out)+mf
+        k = 2.0 ** max(0.0, v.tc - v.sc)
+        rate = muladds_per_s * min(1.0, k / MXU_K_FULL)
+        compute = (2.0 ** v.tc) / rate
         traffic = bytes_per_elem * (
             2.0 ** v.left.sc + 2.0 ** v.right.sc + 2.0 ** v.sc) / bytes_per_s
-        total += max(compute, traffic)
+        total += max(compute, traffic) + STEP_OVERHEAD_S
     return total
 
 

@@ -56,17 +56,24 @@ def scheme_roofline_seconds(steps, muladds_per_s=None, bytes_per_s=None,
     roofline (it sees reorders and chunked gathers), but still blind to
     XLA-internal relayouts — treat as a lower bound and portfolio-rank by
     measurement for final plan selection (docs/BENCH_NOTES.md)."""
-    from ..planner.cost import TPU_HBM_BYTES_PER_S
+    from ..planner.cost import MXU_K_FULL, STEP_OVERHEAD_S, TPU_HBM_BYTES_PER_S
+    from .lowering import _prod
 
-    flops_rate = muladds_per_s or (27e12 / 2.0)   # real flops/s
+    flops_rate = muladds_per_s or (28.6e12 / 2.0)   # real flops/s
     byte_rate = bytes_per_s or TPU_HBM_BYTES_PER_S
     total = 0.0
     for s in steps:
+        if getattr(s, "lane", None) is not None:
+            total += s.lane.est_s + STEP_OVERHEAD_S
+            continue
         lows = [s.lowered] if getattr(s, "lowered", None) is not None \
             else list(getattr(s, "lowered_chunks", ()) or ())
         for low in lows:
-            total += max(step_flops(low, complex_algo) / flops_rate,
-                         step_traffic_bytes(low) / byte_rate)
+            (cx, _cy), (bx, _by) = low.dnums
+            k = _prod(low.shape_l[d] for d in cx)
+            rate = flops_rate * min(1.0, k / MXU_K_FULL)
+            total += max(step_flops(low, complex_algo) / rate,
+                         step_traffic_bytes(low) / byte_rate) + STEP_OVERHEAD_S
     return total
 
 

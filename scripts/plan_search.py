@@ -1,0 +1,80 @@
+"""Portfolio plan search under the chip-true (K-aware) roofline.
+
+Generates SA plans across seeds and sc_targets (native kernel when
+available), scores each candidate by the K-aware scheme roofline
+(runtime/metrics.py — contract-width MXU discount + measured HBM rate),
+and writes the best plan per sc_target to plans/.
+
+Host-only (planner + scheme compile; no jax device work).
+
+Usage: python scripts/plan_search.py [n30|n53] [seeds] [iters]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_N30 = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
+REF_AMPS = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "n30"
+    n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.planner import find_order
+    from artensor_tpu.runtime import metrics as mt
+    from artensor_tpu.runtime.sparse import contraction_scheme_sparse
+
+    assert which == "n30", "only the n30 workload is wired up"
+    gt = [l.split()[0] for l in open(REF_AMPS) if len(l.split()) == 3]
+    bits = gt[:1000]
+    n, layers = load_cirq_circuit(REF_N30)
+    circ = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+
+    best_per_sc = {}
+    for sc in (21, 22, 23, 24, 25, 26):
+        for seed in range(n_seeds):
+            t0 = time.time()
+            order, sliced, ctree = find_order(
+                tb2, ntn.bond_dims, final_qubits=fq2, max_bitstrings=1000,
+                sc_target=sc, trials=8, iters=iters,
+                betas=list(np.linspace(3.0, 21.0, 61)),
+                start_seed=1000 * seed + 1, alpha=0.0, parallel=False)
+            steps, _, _ = contraction_scheme_sparse(ctree, bits, sc_target=sc)
+            rf = (2 ** len(sliced)) * mt.scheme_roofline_seconds(steps)
+            n_lane = sum(1 for s in steps if s.lane is not None)
+            print(f"sc{sc} seed{seed}: k={len(sliced)} roofline={rf:.2f}s "
+                  f"lane={n_lane}/{len(steps)} ({time.time()-t0:.0f}s)",
+                  flush=True)
+            cur = best_per_sc.get(sc)
+            if cur is None or rf < cur[0]:
+                best_per_sc[sc] = (rf, ctree)
+    print("---- best per sc_target:")
+    overall = None
+    for sc, (rf, ctree) in sorted(best_per_sc.items()):
+        k = len(ctree.tn.sliced)
+        print(f"sc{sc}: roofline={rf:.2f}s slices=2^{k}")
+        path = f"plans/n30_m14_sparse_sc{sc}_r2.json"
+        plan_io.save_plan(path, ctree,
+                          meta={"rank": "k-aware-roofline",
+                                "roofline_s": round(rf, 3)})
+        if overall is None or rf < overall[0]:
+            overall = (rf, path)
+    print(f"best overall: {overall[1]} ({overall[0]:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,8 @@ def main():
     tb2, fq2 = ntn.simplify("sparse")
 
     order, sliced, ctree = plan_io.load_plan(plan)
-    sc = int(plan.rsplit("sc", 1)[1].split(".")[0])
+    import re as _re
+    sc = int(_re.search(r"sc(\d+)", plan).group(1))
     steps, out_bonds, bits_sorted = contraction_scheme_sparse(
         ctree, bitstrings, sc_target=sc)
     field = make_field(np.complex64, "highest", mode, algo, storage)
