@@ -63,4 +63,11 @@ def __getattr__(name):
     ):
         from . import simulation as _sim
         return getattr(_sim, name)
+    if name in ("MPS", "mps_simulate"):
+        from .utils import mps as _mps
+        return getattr(_mps, name)
+    if name in ("linear_xeb", "state_fidelity",
+                "xeb_against_ground_truth", "sliced_fidelity_estimate"):
+        from .utils import xeb as _xeb
+        return getattr(_xeb, name)
     raise AttributeError(f"module 'artensor_tpu' has no attribute {name!r}")
