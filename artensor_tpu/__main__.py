@@ -6,6 +6,8 @@ SURVEY.md §1 L6).  Commands:
   simulate  amplitudes of a circuit (qsim file or generated-cirq .py)
   plan      run the SA planner and save the plan as JSON
   info      inspect a circuit or saved plan
+  bench     time a planned contraction (repeat runs, sustained TFLOP/s)
+  verify    cross-check sparse amplitudes against the truncated-MPS oracle
 """
 
 import argparse
@@ -121,6 +123,87 @@ def cmd_info(args):
         }))
 
 
+def cmd_bench(args):
+    import time
+
+    from .ops.field import make_field
+    from .runtime import executor as ex
+    from .runtime import metrics as mt
+    from .simulation import PlannerConfig, TensorNetworkSimulation
+
+    circ = _load_circuit(args.circuit)
+    bitstrings = _read_bitstrings(args.bitstrings)
+    sim = TensorNetworkSimulation.from_circuit(circ, bitstrings)
+    from . import plan_io
+    order, sliced, ctree = plan_io.load_plan(args.plan)
+    sim.config = PlannerConfig(sc_target=args.sc_target)
+    sim.order, sim.slicing_bonds, sim.ctree = order, sliced, ctree
+    sim._compile_scheme()
+
+    import jax
+    field = make_field(np.complex64, args.precision, "split")
+    staged = ex.stage_tensors(
+        field, [sim.tensors[i] for i in range(len(sim.tensors))])
+    k = len(sim.slicing_bonds)
+    if sim.pattern == "sparse":
+        from .runtime.sparse import execute_sparse as execute
+        out_shape = (len(sim.bitstrings_sorted),)
+    else:
+        execute = ex.execute_dense
+        out_shape = (2,) * len(sim.output_bonds)
+    run = jax.jit(ex.make_sliced_runner(
+        execute, sim.steps, sim.slicing_axes, k, out_shape, field,
+        slice_batch=args.slice_batch))
+
+    def once():
+        t0 = time.time()
+        r = run(staged)
+        jax.block_until_ready(r)
+        _ = np.asarray(jax.tree.leaves(r)[0].ravel()[:1])
+        return time.time() - t0
+
+    compile_s = once()
+    walls = sorted(once() for _ in range(args.repeats))
+    wall = walls[len(walls) // 2]
+    flops = (2 ** k) * mt.scheme_flops(sim.steps)
+    roofline = (2 ** k) * mt.scheme_roofline_seconds(sim.steps)
+    print(json.dumps({
+        "wall_s": round(wall, 3), "compile_s": round(compile_s, 1),
+        "slices": 2 ** k, "steps": len(sim.steps),
+        "sustained_tflops": round(flops / wall / 1e12, 2),
+        "roofline_s": round(roofline, 3),
+        "roofline_achieved": round(roofline / wall, 3),
+    }))
+
+
+def cmd_verify(args):
+    from .simulation import quantum_circuit_simulation
+    from .utils.mps import mps_simulate
+
+    circ = _load_circuit(args.circuit)
+    bitstrings = _read_bitstrings(args.bitstrings)
+    if not bitstrings:
+        rng = np.random.default_rng(0)
+        picks = rng.choice(2 ** circ.n, min(16, 2 ** circ.n), replace=False)
+        bitstrings = [np.binary_repr(b, circ.n) for b in picks]
+    amps, bs = quantum_circuit_simulation(
+        circ, bitstrings, args.sc_target, trial_num=args.trials,
+        iters=args.iters, parallel=not args.serial)
+    amap = dict(zip(bs, np.asarray(amps)))
+    mps = mps_simulate(circ, chi=args.chi)
+    worst = 0.0
+    for b in bitstrings:
+        ref = mps.amplitude(b)
+        err = abs(amap[b] - ref)
+        worst = max(worst, err)
+        print(f"{b} tn={amap[b]:.8f} mps={ref:.8f} |diff|={err:.2e}")
+    print(json.dumps({"max_abs_diff": float(worst),
+                      "mps_fidelity_estimate": mps.fidelity_estimate,
+                      "mps_max_bond": mps.max_bond()}), file=sys.stderr)
+    if mps.fidelity_estimate > 0.999 and worst > args.tol:
+        sys.exit(1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="artensor_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -159,6 +242,28 @@ def main(argv=None):
     pi = sub.add_parser("info", help="inspect a circuit or plan")
     pi.add_argument("target")
     pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="time a planned contraction")
+    pb.add_argument("circuit")
+    pb.add_argument("--plan", required=True)
+    pb.add_argument("--bitstrings")
+    pb.add_argument("--sc-target", type=float, default=30.0)
+    pb.add_argument("--precision", default="highest")
+    pb.add_argument("--slice-batch", type=int, default=1)
+    pb.add_argument("--repeats", type=int, default=3)
+    pb.set_defaults(fn=cmd_bench)
+
+    pv = sub.add_parser("verify",
+                        help="cross-check amplitudes against the MPS oracle")
+    pv.add_argument("circuit")
+    pv.add_argument("--bitstrings")
+    pv.add_argument("--sc-target", type=float, default=30.0)
+    pv.add_argument("--chi", type=int, default=256)
+    pv.add_argument("--trials", type=int, default=4)
+    pv.add_argument("--iters", type=int, default=12)
+    pv.add_argument("--tol", type=float, default=1e-4)
+    pv.add_argument("--serial", action="store_true")
+    pv.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -467,8 +467,13 @@ def tensor_network_contraction(tensors, tensor_bonds, bond_dims, final_qubits,
 def quantum_circuit_simulation(circuit_filename, bitstrings=(), sc_target=31,
                                trial_num=8, alpha=0.0, dtype=np.complex64,
                                **kwargs):
-    """One-shot from a qsim circuit file (reference-parity entry point)."""
-    circ = TensorNetworkCircuit(circuit_filename)
+    """One-shot from a qsim circuit file (reference-parity entry point).
+
+    Also accepts an already-built TensorNetworkCircuit or an (n, layers)
+    pair."""
+    circ = (circuit_filename
+            if isinstance(circuit_filename, TensorNetworkCircuit)
+            else TensorNetworkCircuit(circuit_filename))
     tensors, tensor_bonds, bond_dims, final_qubits = circ.to_numerical_tn()
     return tensor_network_contraction(
         tensors, tensor_bonds, bond_dims, final_qubits, bitstrings,
