@@ -78,14 +78,21 @@ def _relabel(*index_lists):
     return tuple(tuple(lab[b] for b in ix) for ix in index_lists)
 
 
-def _consumer_contract_map(order, tensor_bonds):
+def _consumer_contract_map(order, tensor_bonds, final_qubit_tensors=()):
     """Per-step: the contract-leg set of the step that CONSUMES its output.
 
     Contract sets depend only on bond membership (not on chosen axis
     orders), so this pre-pass is exact for the second, order-choosing pass.
+    Steps whose BOTH operands carry amplitude batches (future cross /
+    aligned-gather merges) are never lane-schedulable, so their producers
+    get an empty hint — paying reorder traffic to deliver them a
+    lane-friendly layout buys nothing and feeding scheduler-exotic orders
+    into the chunked-gather lowering has measured compile blowups.
     """
     bonds = {t: list(bs) for t, bs in tensor_bonds.items()}
+    batched = {t: t in set(final_qubit_tensors) for t in bonds}
     contracted_at = []
+    both_batched = []
     for i, j in order:
         common = set(bonds[i]) & set(bonds[j])
         still = {
@@ -98,13 +105,16 @@ def _consumer_contract_map(order, tensor_bonds):
                       if b not in contracted and b not in new_bonds]
         bonds[i], bonds[j] = new_bonds, []
         contracted_at.append(contracted)
+        both_batched.append(batched[i] and batched[j])
+        batched[i] = batched[i] or batched[j]
     consumer = [set() for _ in order]
     consumer_idx = [-1] * len(order)
     producer = {}
     for t, (i, j) in enumerate(order):
         for o in (i, j):
             if o in producer:
-                consumer[producer[o]] = contracted_at[t]
+                consumer[producer[o]] = (set() if both_batched[t]
+                                         else contracted_at[t])
                 consumer_idx[producer[o]] = t
         producer[i] = t
     return consumer, consumer_idx
@@ -154,7 +164,7 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     consumer_contract = consumer_idx = None
     if lane_schedule:
         consumer_contract, consumer_idx = _consumer_contract_map(
-            order, tn.tensor_bonds)
+            order, tn.tensor_bonds, final_qubits)
     steps = []
     last = None
     for t, (i, j) in enumerate(order):

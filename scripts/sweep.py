@@ -55,7 +55,8 @@ def main():
     import re as _re
     sc = int(_re.search(r"sc(\d+)", plan).group(1))
     steps, out_bonds, bits_sorted = contraction_scheme_sparse(
-        ctree, bitstrings, sc_target=sc)
+        ctree, bitstrings, sc_target=sc,
+        lane_schedule=not os.environ.get("SWEEP_NOLANE"))
     field = make_field(np.complex64, "highest", mode, algo, storage)
     staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
