@@ -35,17 +35,29 @@ def main():
     from artensor_tpu.runtime import metrics as mt
     from artensor_tpu.runtime.sparse import contraction_scheme_sparse
 
-    assert which == "n30", "only the n30 workload is wired up"
-    gt = [l.split()[0] for l in open(REF_AMPS) if len(l.split()) == 3]
-    bits = gt[:1000]
-    n, layers = load_cirq_circuit(REF_N30)
-    circ = TensorNetworkCircuit((n, layers))
+    if which == "n30":
+        gt = [l.split()[0] for l in open(REF_AMPS) if len(l.split()) == 3]
+        bits = gt[:1000]
+        n, layers = load_cirq_circuit(REF_N30)
+        circ = TensorNetworkCircuit((n, layers))
+        sc_targets = (21, 22, 23, 24, 25, 26)
+    else:
+        # bundled pod-scale qsim circuits (n53 m20 / n56 m20 / n60 m24)
+        paths = {
+            "n53": "/root/reference/examples/circuits/circuit_n53_m20_s0_e0_pABCDCDAB.qsim",
+            "n56": "/root/reference/examples/circuits/circuit_n56_m20_s0_e0_pABCDCDAB.qsim",
+            "n60": "/root/reference/examples/circuits/circuit_n60_m24_s0_e0_pABCDCDAB.qsim",
+        }
+        circ = TensorNetworkCircuit(paths[which])
+        rng = np.random.default_rng(0)
+        bits = ["".join(rng.choice(["0", "1"], circ.n)) for _ in range(1000)]
+        sc_targets = (32,)
     tensors, tb, bd, fq = circ.to_numerical_tn()
     ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
     tb2, fq2 = ntn.simplify("sparse")
 
     best_per_sc = {}
-    for sc in (21, 22, 23, 24, 25, 26):
+    for sc in sc_targets:
         for seed in range(n_seeds):
             t0 = time.time()
             order, sliced, ctree = find_order(
@@ -66,8 +78,9 @@ def main():
     overall = None
     for sc, (rf, ctree) in sorted(best_per_sc.items()):
         k = len(ctree.tn.sliced)
-        print(f"sc{sc}: roofline={rf:.2f}s slices=2^{k}")
-        path = f"plans/n30_m14_sparse_sc{sc}_r2.json"
+        print(f"sc{sc}: roofline={rf:.2f}s/slice-set slices=2^{k}")
+        path = f"plans/{which}_sparse_sc{sc}_r2.json" if which != "n30" \
+            else f"plans/n30_m14_sparse_sc{sc}_r2.json"
         plan_io.save_plan(path, ctree,
                           meta={"rank": "k-aware-roofline",
                                 "roofline_s": round(rf, 3)})

@@ -1,0 +1,141 @@
+"""Lane executor unit tests: plan invariants + kernel vs einsum oracle.
+
+The big-step threshold (MIN_X_ELEMS = 2^16) keeps the circuit-level tests
+on the XLA path, so these tests build synthetic steps just above the
+threshold and force every structural feature through the Pallas kernel in
+interpret mode: head/tail orientations, combo legs, grid-leg hoisting and
+pinned (batch-like) legs.
+"""
+
+import numpy as np
+import pytest
+
+from artensor_tpu.ops.field import make_field
+from artensor_tpu.runtime import lanes
+from artensor_tpu.runtime.lanes import (
+    apply_lane_step,
+    plan_lane_step,
+    schedule_step,
+)
+
+
+def _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan, seed=0):
+    """Execute the plan in interpret mode and compare against einsum."""
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(dims_x) + 1j * rng.standard_normal(dims_x)) \
+        .astype(np.complex64)
+    w = (rng.standard_normal(dims_w) + 1j * rng.standard_normal(dims_w)) \
+        .astype(np.complex64)
+    lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+    want = np.einsum(x, [lab[l] for l in ix_x], w, [lab[l] for l in ix_w],
+                     [lab[l] for l in iy])
+
+    field = make_field(np.complex64, "highest", "split")
+    xs = field.wrap(x.reshape(-1))
+    ws = field.wrap(w.reshape(-1))
+    got = apply_lane_step(field, xs, ws, plan, interpret=True)
+    got = field.unwrap(got).reshape([dict(zip(ix_x, dims_x),
+                                          **dict(zip(ix_w, dims_w)))[l]
+                                     for l in iy])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_head_plan_basic():
+    # X (a,b,c,d) = (4, 32, 128, 16): contract (a, b) with W -> new (n, m)
+    ix_x = ("a", "b", "c", "d")
+    dims_x = (4, 32, 128, 16)
+    ix_w = ("a", "b", "n", "m")
+    dims_w = (4, 32, 4, 4)
+    iy = ("n", "m", "c", "d")
+    plan = plan_lane_step(ix_x, ix_w, iy, dims_x, dims_w,
+                          lane_count=2, orient="head")
+    assert plan is not None and plan.orient == "head"
+    assert plan.L == 128 and plan.n_combos == 1
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_head_plan_combo_and_hoist():
+    # contract legs (a, e): a in lanes, e deep in rows -> combo; hoist g
+    # (the combo leg sits between the hoisted g and the f run: a squeezed
+    # axis may not occupy the last two block positions, a full one may)
+    ix_x = ("a", "b", "c", "g", "e", "d")
+    dims_x = (64, 2, 64, 2, 2, 256)
+    ix_w = ("a", "e", "n")
+    dims_w = (64, 2, 8)
+    # g hoisted to the front; h = (b: lane-free, n: new) contiguous, and
+    # the H block stays adjacent to the f run so no squeezed axis lands
+    # in the last two output block positions
+    iy = ("g", "c", "b", "n", "d")
+    plan = plan_lane_step(ix_x, ix_w, iy, dims_x, dims_w,
+                          lane_count=2, orient="head")
+    assert plan is not None
+    assert plan.n_combos == 2
+    assert ("g", "g") in plan.x_axes
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_tail_plan_basic():
+    # contract legs at the TAIL of X
+    ix_x = ("c", "d", "a", "b")
+    dims_x = (128, 16, 4, 32)
+    ix_w = ("a", "b", "n")
+    dims_w = (4, 32, 16)
+    iy = ("c", "d", "n")
+    plan = plan_lane_step(ix_x, ix_w, iy, dims_x, dims_w,
+                          lane_count=2, orient="tail")
+    assert plan is not None and plan.orient == "tail"
+    assert plan.L == 128
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_pinned_leading_leg():
+    # a batch-like pinned leg stays the leading output axis
+    ix_x = ("B", "a", "b", "c")
+    dims_x = (6, 4, 32, 512)
+    ix_w = ("a", "b", "n")
+    dims_w = (4, 32, 8)
+    iy = ("B", "n", "c")
+    plan = plan_lane_step(ix_x, ix_w, iy, dims_x, dims_w,
+                          lane_count=2, pin=1, orient="head")
+    assert plan is not None
+    assert plan.y_axes[0] == ("g", "B")
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_schedule_step_places_consumer_contract_first():
+    ix_x = ("a", "b", "c", "d")
+    dims_x = (4, 32, 128, 16)
+    ix_w = ("a", "b", "n", "m")
+    dims_w = (4, 32, 4, 4)
+    iy_set = {"n", "m", "c", "d"}
+    iy, plan = schedule_step(ix_x, ix_w, iy_set, dims_x, dims_w,
+                             consumer_contract={"m"})
+    assert plan is not None
+    # the consumer's contract leg leads the chosen output order
+    assert iy[0] == "m"
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_tail_orientation_via_knob(monkeypatch):
+    """The tail orientation stays available behind the ORIENTATIONS knob."""
+    monkeypatch.setattr(lanes, "ORIENTATIONS", ("head", "tail"))
+    ix_x = ("c", "a", "b")
+    dims_x = (1024, 8, 16)
+    ix_w = ("a", "b", "n")
+    dims_w = (8, 16, 32)
+    iy_set = {"c", "n"}
+    iy, plan = schedule_step(ix_x, ix_w, iy_set, dims_x, dims_w)
+    assert plan is not None
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_ineligible_steps_fall_back():
+    # both operands big -> no plan; fallback order covers all legs
+    ix_x = ("a", "b", "c")
+    dims_x = (64, 64, 32)
+    ix_w = ("a", "d", "e")
+    dims_w = (64, 64, 32)
+    iy_set = {"b", "c", "d", "e"}
+    iy, plan = schedule_step(ix_x, ix_w, iy_set, dims_x, dims_w)
+    assert plan is None
+    assert set(iy) == iy_set and len(iy) == 4
