@@ -33,8 +33,10 @@ def stage_tensors(field, arrays):
 def apply_dense_step(field, x, y, s):
     if getattr(s, "lane", None) is not None \
             and getattr(field, "supports_lanes", False):
-        from .lanes import apply_lane_step
+        from .lanes import PairPlan, apply_lane_step, apply_pair_step
 
+        if isinstance(s.lane, PairPlan):
+            return apply_pair_step(field, x, y, s.lane)
         return apply_lane_step(field, x, y, s.lane)
     return apply_lowered(field, x, y, s.lowered)
 

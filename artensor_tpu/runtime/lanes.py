@@ -492,6 +492,16 @@ def schedule_step(ix_i, ix_j, iy_set, dims_i, dims_j, consumer_contract=(),
                     best = (iy_k, p)
     if best is not None:
         return best
+    if (_prod(dims_i) > SMALL_W_ELEMS and _prod(dims_j) > SMALL_W_ELEMS
+            and not (set_x & set_w & iy_set) and pin == 0):
+        # both operands big: try the fused pair kernel with the natural
+        # (i-free legs, j-free legs) output order
+        rows_i = [l for l in ix_i if l in iy_set]
+        rows_j = [l for l in ix_j if l in iy_set and l not in set(rows_i)]
+        iy_p = tuple(rows_i + rows_j)
+        p = plan_pair_step(ix_i, ix_j, iy_p, dims_i, dims_j)
+        if p is not None:
+            return iy_p, p
     return fallback_output_order(ix_i, ix_j, iy_set, dims_i, dims_j,
                                  consumer_contract,
                                  pinned=tuple(ix_x[:pin])), None
@@ -633,4 +643,156 @@ def apply_lane_step(field, x, y, plan, interpret=None):
             flops=plan.flops, bytes_accessed=traffic, transcendentals=0),
         interpret=interpret,
     )(xr, xi, wr, wi)
+    return field.reshape((yr, yi), physical_shape(plan.dims_y))
+
+
+# -- both-big pair kernel ---------------------------------------------------
+
+PAIR_K_CAP = 2048      # contract size per kernel (VMEM: 2 ops x 2 comps)
+PAIR_TILE = 256
+
+
+@dataclass(frozen=True)
+class PairPlan:
+    """Fused complex matmul for steps where BOTH operands are big.
+
+    Requires the contract legs to form the LEADING run of both operands
+    (the lane scheduler's producers hoist the consumer's contract legs to
+    the front, so chains of big merges arrive in this form).  The two
+    operands' contract-leg ORDERS may differ: the smaller side's K rows
+    are aligned by one XLA row-gather (contiguous rows, ~|V| extra
+    traffic), then the kernel runs plain (K,bm)x(K,bn) -> (bm,bn)
+    TT-form tiles with all four re/im products fused and combined in
+    VMEM.  Both operands are read once per tile pass; K >= 128 steps run
+    the MXU at full contraction width.
+    """
+
+    K: int
+    M: int
+    N: int
+    bm: int
+    bn: int
+    v_perm: object       # int32 K-permutation for the j operand (or None)
+    swap: bool           # operands arrived as (V, X): swap before use
+    dims_y: tuple
+    flops: int
+    est_s: float
+
+
+def plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j):
+    """Build a PairPlan, or None if the step does not fit."""
+    set_i, set_j, set_y = set(ix_i), set(ix_j), set(iy)
+    if set_i & set_j & set_y:
+        return _rej("pair-shared")
+    if _prod(dims_i) <= SMALL_W_ELEMS or _prod(dims_j) <= SMALL_W_ELEMS:
+        return _rej("pair-small")
+    dim_of = {}
+    for l, d in zip(ix_i, dims_i):
+        dim_of[l] = int(d)
+    for l, d in zip(ix_j, dims_j):
+        dim_of[l] = int(d)
+    contract = [l for l in ix_i if l in set_j and l not in set_y]
+    nc = len(contract)
+    if not nc:
+        return _rej("pair-outer")
+    if set(ix_i[:nc]) != set(contract) or set(ix_j[:nc]) != set(contract):
+        return _rej("pair-K-not-leading")
+    rows_i = list(ix_i[nc:])
+    rows_j = list(ix_j[nc:])
+    if set(rows_i) & set_j or set(rows_j) & set_i:
+        return _rej("pair-extra-shared")
+    if tuple(iy) != tuple(rows_i + rows_j):
+        return _rej("pair-iy")
+    K = _prod(dim_of[l] for l in contract)
+    M = _prod(dim_of[l] for l in rows_i)
+    N = _prod(dim_of[l] for l in rows_j)
+    bm = min(PAIR_TILE, M)
+    bn = min(PAIR_TILE, N)
+    if K > PAIR_K_CAP or K % 8 or bm % 128 or bn % 128             or M % bm or N % bn:
+        return _rej("pair-tile")
+    # roofline: tiles re-read X N/bn times and V M/bm times
+    reads = 4 * 2 * (M * K * (N // bn) + K * N * (M // bm) + M * N)
+    compute_s = (4 * 2 * M * N * K
+                 / (MXU_FLOPS_PER_S * min(1.0, K / 128.0)))
+    traffic_s = reads / HBM_BYTES_PER_S
+    if compute_s > ROOFLINE_SLACK * max(
+            traffic_s, 4 * 2 * (M * K + K * N + M * N) / HBM_BYTES_PER_S):
+        return _rej("pair-roofline")
+    # K-order alignment: j's leading legs permuted to i's order
+    if tuple(ix_j[:nc]) == tuple(ix_i[:nc]):
+        v_perm = None
+    else:
+        strides = {}
+        s = 1
+        for l in reversed(ix_j[:nc]):
+            strides[l] = s
+            s *= dim_of[l]
+        ks = np.arange(K, dtype=np.int64)
+        digits = {}
+        rem = ks
+        for l in reversed(ix_i[:nc]):
+            d = dim_of[l]
+            digits[l] = rem % d
+            rem = rem // d
+        v_perm = np.zeros(K, dtype=np.int64)
+        for l in ix_i[:nc]:
+            v_perm += digits[l] * strides[l]
+        v_perm = v_perm.astype(np.int32)
+    dims_y = tuple(dim_of[l] for l in iy)
+    flops = 4 * 2 * M * N * K
+    return PairPlan(K, M, N, bm, bn, v_perm, False, dims_y, flops,
+                    max(compute_s, traffic_s))
+
+
+def _pair_kernel(xr_ref, xi_ref, vr_ref, vi_ref, or_ref, oi_ref):
+    import jax.numpy as jnp
+    from jax import lax
+
+    dot = partial(lax.dot_general,
+                  dimension_numbers=(((0,), (0,)), ((), ())),
+                  precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    xr, xi = xr_ref[...], xi_ref[...]
+    vr, vi = vr_ref[...], vi_ref[...]
+    or_ref[...] = dot(xr, vr) - dot(xi, vi)
+    oi_ref[...] = dot(xr, vi) + dot(xi, vr)
+
+
+def apply_pair_step(field, x, y, plan, interpret=None):
+    """Execute a both-big pair step on SplitField pairs (traceable)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .lowering import physical_shape
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    K, M, N = plan.K, plan.M, plan.N
+    xs = field.reshape(x, (K, M))
+    vs = field.reshape(y, (K, N))
+    if plan.v_perm is not None:
+        vs = field.take(vs, jnp.asarray(plan.v_perm), axis=0)
+    xspec = pl.BlockSpec((K, plan.bm), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((K, plan.bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((plan.bm, plan.bn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((M, N), jnp.float32)
+    yr, yi = pl.pallas_call(
+        _pair_kernel,
+        grid=(M // plan.bm, N // plan.bn),
+        in_specs=[xspec, xspec, vspec, vspec],
+        out_specs=(ospec, ospec),
+        out_shape=(out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.flops,
+            bytes_accessed=8 * (M * K + K * N + M * N),
+            transcendentals=0),
+        interpret=interpret,
+    )(xs[0], xs[1], vs[0], vs[1])
     return field.reshape((yr, yi), physical_shape(plan.dims_y))

@@ -366,9 +366,12 @@ def apply_sparse_step(field, x, y, s):
         ]
         return parts[0] if len(parts) == 1 else field.concat(parts, axis=0)
     if s.lane is not None and getattr(field, "supports_lanes", False):
-        from .lanes import apply_lane_step
+        from .lanes import PairPlan, apply_lane_step, apply_pair_step
 
-        out = apply_lane_step(field, x, y, s.lane)
+        if isinstance(s.lane, PairPlan):
+            out = apply_pair_step(field, x, y, s.lane)
+        else:
+            out = apply_lane_step(field, x, y, s.lane)
     else:
         out = apply_lowered(field, x, y, s.lowered)
     if s.reshape is not None:

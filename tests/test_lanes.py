@@ -13,8 +13,11 @@ import pytest
 from artensor_tpu.ops.field import make_field
 from artensor_tpu.runtime import lanes
 from artensor_tpu.runtime.lanes import (
+    PairPlan,
     apply_lane_step,
+    apply_pair_step,
     plan_lane_step,
+    plan_pair_step,
     schedule_step,
 )
 
@@ -129,13 +132,43 @@ def test_tail_orientation_via_knob(monkeypatch):
     _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
 
 
-def test_ineligible_steps_fall_back():
-    # both operands big -> no plan; fallback order covers all legs
+def test_both_big_pair_kernel():
+    # both operands big with contract leading -> the fused pair kernel
     ix_x = ("a", "b", "c")
     dims_x = (64, 64, 32)
     ix_w = ("a", "d", "e")
     dims_w = (64, 64, 32)
     iy_set = {"b", "c", "d", "e"}
     iy, plan = schedule_step(ix_x, ix_w, iy_set, dims_x, dims_w)
-    assert plan is None
-    assert set(iy) == iy_set and len(iy) == 4
+    assert isinstance(plan, PairPlan) and plan.K == 64
+    _run_and_check_pair(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_pair_kernel_k_order_mismatch():
+    # the j operand's contract legs arrive in a different order: the plan
+    # carries a K-row permutation
+    ix_x = ("a", "b", "c", "d")
+    dims_x = (8, 16, 64, 32)
+    ix_w = ("b", "a", "e")
+    dims_w = (16, 8, 256)
+    iy = ("c", "d", "e")
+    plan = plan_pair_step(ix_x, ix_w, iy, dims_x, dims_w)
+    assert isinstance(plan, PairPlan) and plan.v_perm is not None
+    _run_and_check_pair(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def _run_and_check_pair(ix_x, ix_w, iy, dims_x, dims_w, plan, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(dims_x) + 1j * rng.standard_normal(dims_x)) \
+        .astype(np.complex64)
+    w = (rng.standard_normal(dims_w) + 1j * rng.standard_normal(dims_w)) \
+        .astype(np.complex64)
+    lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+    want = np.einsum(x, [lab[l] for l in ix_x], w, [lab[l] for l in ix_w],
+                     [lab[l] for l in iy])
+    field = make_field(np.complex64, "highest", "split")
+    got = apply_pair_step(field, field.wrap(x.reshape(-1)),
+                          field.wrap(w.reshape(-1)), plan, interpret=True)
+    dim_of = dict(zip(ix_x, dims_x), **dict(zip(ix_w, dims_w)))
+    got = field.unwrap(got).reshape([dim_of[l] for l in iy])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
