@@ -648,6 +648,10 @@ def apply_lane_step(field, x, y, plan, interpret=None):
 
 # -- both-big pair kernel ---------------------------------------------------
 
+LANE_STEPS_CAP = 48    # max Pallas calls per scheme: every kernel adds
+                       # remote-compile cost, and pod-scale schemes (450+
+                       # steps) measured pathological compile times with
+                       # unbounded kernel counts
 PAIR_K_CAP = 2048      # contract size per kernel (VMEM: 2 ops x 2 comps)
 PAIR_TILE = 256
 
@@ -796,3 +800,21 @@ def apply_pair_step(field, x, y, plan, interpret=None):
         interpret=interpret,
     )(xs[0], xs[1], vs[0], vs[1])
     return field.reshape((yr, yi), physical_shape(plan.dims_y))
+
+
+def prune_lane_plans(steps, cap=None):
+    """Keep only the ``cap`` most valuable lane plans of a compiled scheme
+    (by estimated kernel time — a proxy for the traffic the kernel saves);
+    the rest revert to the XLA lowering.  Orders are left as scheduled.
+    Returns the number of plans kept.
+    """
+    import dataclasses
+
+    cap = LANE_STEPS_CAP if cap is None else cap
+    laned = [(k, s) for k, s in enumerate(steps) if s.lane is not None]
+    if len(laned) <= cap:
+        return len(laned)
+    laned.sort(key=lambda t: -t[1].lane.est_s)
+    for k, s in laned[cap:]:
+        steps[k] = dataclasses.replace(s, lane=None)
+    return cap

@@ -133,4 +133,8 @@ def contraction_scheme(ctree, lane_schedule=True):
                                      dims_i, dims_j, lane))
         if v is ctree.root:
             output_bonds = iy
+    if lane_schedule:
+        from .lanes import prune_lane_plans
+
+        prune_lane_plans(steps)
     return steps, list(output_bonds)

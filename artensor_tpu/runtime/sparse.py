@@ -339,6 +339,10 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     out_reps = info[last][1]
     bitstrings_sorted = ["".join(map(str, row))
                          for row in _ints_to_bits(out_reps, n_qubits)]
+    if lane_schedule:
+        from .lanes import prune_lane_plans
+
+        prune_lane_plans(steps)
     if lane_schedule and _hints is None:
         # fixpoint over "which steps lane-plan": recompile with orders
         # adjusted to whether each consumer actually planned
