@@ -224,6 +224,15 @@ class TensorNetworkSimulation:
                     field))
                 result = run_sliced_checkpointed(
                     run, arrays, k, out_shape, field, checkpoint_path)
+            elif len(self.steps) > 256:
+                # huge schemes: one monolithic XLA program compiles for
+                # tens of minutes (and can OOM the remote compile helper);
+                # segmented mode compiles a handful of small programs and
+                # walks them from the host (runtime/segmented.py)
+                from .runtime.segmented import run_segmented
+                result = run_segmented(
+                    arrays, self.steps, self.slicing_axes, k, out_shape,
+                    field, apply_step)
             else:
                 run = jax.jit(ex.make_sliced_runner(
                     execute, self.steps, self.slicing_axes, k, out_shape,
