@@ -21,6 +21,11 @@ from .circuits import TensorNetworkCircuit
 from .network import NumericalTensorNetwork
 from .planner import find_order
 
+# schemes above this many steps execute segmented (a handful of small
+# jitted programs) instead of as one monolithic XLA program — the remote
+# compile helper OOMs / crawls on huge programs (docs/BENCH_NOTES.md)
+SEGMENT_AUTO_THRESHOLD = 256
+
 
 @dataclass
 class PlannerConfig:
@@ -224,7 +229,7 @@ class TensorNetworkSimulation:
                     field))
                 result = run_sliced_checkpointed(
                     run, arrays, k, out_shape, field, checkpoint_path)
-            elif len(self.steps) > 256:
+            elif len(self.steps) > SEGMENT_AUTO_THRESHOLD:
                 # huge schemes: one monolithic XLA program compiles for
                 # tens of minutes (and can OOM the remote compile helper);
                 # segmented mode compiles a handful of small programs and

@@ -367,3 +367,25 @@ def test_slicing_fidelity_one_config():
     f = state_fidelity(one_cfg, full)
     est = sliced_fidelity_estimate(k)
     assert est / 4 < f < est * 4, (f, est)
+
+
+def test_auto_segmented_matches_monolithic(monkeypatch):
+    """Above SEGMENT_AUTO_THRESHOLD steps, contraction() routes through the
+    segmented executor; results must match the monolithic path exactly."""
+    import numpy as np
+
+    from artensor_tpu import simulation as sim_mod
+    from artensor_tpu.circuits import TensorNetworkCircuit
+    from artensor_tpu.circuits.random_circuits import random_circuit
+    from artensor_tpu.simulation import PlannerConfig, TensorNetworkSimulation
+
+    n, layers = random_circuit(4, 3, 8, seed=3)
+    circ = TensorNetworkCircuit((n, layers))
+    bits = ["0" * n, "01" * (n // 2), "1" * n]
+    sim = TensorNetworkSimulation.from_circuit(circ, bits)
+    sim.prepare_contraction(PlannerConfig(sc_target=24, trials=2, iters=6,
+                                          parallel=False))
+    mono = sim.contraction()
+    monkeypatch.setattr(sim_mod, "SEGMENT_AUTO_THRESHOLD", 2)
+    seg = sim.contraction()
+    np.testing.assert_allclose(seg, mono, rtol=1e-5, atol=1e-7)
