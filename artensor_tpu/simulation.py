@@ -141,19 +141,21 @@ class TensorNetworkSimulation:
         self._compile_scheme()
         return self
 
-    def _compile_scheme(self):
+    def _compile_scheme(self, lane_schedule=True):
         from .runtime import executor as ex
         from .runtime import scheme as sch
 
         if self.pattern == "normal":
-            self.steps, self.output_bonds = sch.contraction_scheme(self.ctree)
+            self.steps, self.output_bonds = sch.contraction_scheme(
+                self.ctree, lane_schedule=lane_schedule)
             self.bitstrings_sorted = None
         else:
             from .runtime.sparse import contraction_scheme_sparse
             self.steps, self.output_bonds, self.bitstrings_sorted = \
                 contraction_scheme_sparse(
                     self.ctree, self.bitstrings,
-                    sc_target=self.config.sc_target)
+                    sc_target=self.config.sc_target,
+                    lane_schedule=lane_schedule)
         batched = self.final_qubits if self.pattern == "sparse" else ()
         self.slicing_axes = ex.build_slicing_axes(
             self.tensor_bonds, self.slicing_bonds, batched_tensors=batched)
@@ -242,14 +244,31 @@ class TensorNetworkSimulation:
                 run = jax.jit(ex.make_sliced_runner(
                     execute, self.steps, self.slicing_axes, k, out_shape,
                     field, slice_batch=slice_batch))
-                if report is not None:
-                    # AOT split so the report separates compile from run
-                    with mt.Timer() as ct:
-                        compiled = run.lower(arrays).compile()
-                    report.compile_s = ct.elapsed
-                    result = compiled(arrays)
-                else:
-                    result = run(arrays)
+                try:
+                    if report is not None:
+                        # AOT split so the report separates compile from run
+                        with mt.Timer() as ct:
+                            compiled = run.lower(arrays).compile()
+                        report.compile_s = ct.elapsed
+                        result = compiled(arrays)
+                    else:
+                        result = run(arrays)
+                except Exception as e:   # pragma: no cover - env-specific
+                    # certain plan/order combinations crash this
+                    # environment's remote XLA compile helper with no
+                    # diagnostics (docs/BENCH_NOTES.md); retry with
+                    # conservative residual orders, segmented
+                    if "remote_compile" not in str(e):
+                        raise
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "monolithic compile failed (%s); retrying with "
+                        "conservative orders in segmented mode", e)
+                    from .runtime.segmented import run_segmented
+                    self._compile_scheme(lane_schedule=False)
+                    result = run_segmented(
+                        arrays, self.steps, self.slicing_axes, k, out_shape,
+                        field, apply_step)
             result = field.unwrap(result).reshape(out_shape)
         if profiler is not None:
             profiler.__exit__(None, None, None)
