@@ -83,6 +83,9 @@ def contraction_scheme(ctree, lane_schedule=True):
     from .lanes import schedule_step
 
     tn = ctree.tn
+    if lane_schedule and len(tn.tensor_bonds) > 300:
+        # pod-scale schemes: see contraction_scheme_sparse
+        lane_schedule = False
     dims = {b: int(d) for b, d in tn.bond_dims.items()}
     bond_order = {}  # id(node) -> tuple of bond labels of its result axes
     steps = []

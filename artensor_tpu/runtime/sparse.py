@@ -137,6 +137,12 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     Returns (steps, output_bonds, bitstrings_sorted).
     """
     order = ctree.to_order_dfs()
+    # pod-scale schemes keep reference-compatible residual orders: the
+    # scheduler's order choices measurably crash this environment's remote
+    # XLA compile helper on 400+-step programs (docs/BENCH_NOTES.md), and
+    # per-step kernel gains are amortized away by segment-compile latency
+    if len(order) > 300:
+        lane_schedule = False
     tn = ctree.tn
     dim_of = {b: int(d) for b, d in tn.bond_dims.items()}
     bonds = {t: list(bs) for t, bs in tn.tensor_bonds.items()}
