@@ -181,12 +181,14 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
             if any(b in bonds[t2] for t2 in bonds if t2 not in (i, j) and bonds[t2])
         }
         contracted = [b for b in common if b not in still_used]
-        # Residual output order (reference-compatible) by default; the lane
-        # scheduler below overrides it for steps it can place on the Pallas
-        # path (runtime/lanes.py), putting the consumer's contract legs
-        # lane-resident.  (Round-1 note: adopting the dot's "natural" order
-        # blindly was measured SLOWER, 2.49s vs 2.19s — order choices must
-        # be deliberate, which is exactly what the lane scheduler does.)
+        # Residual output order (reference-compatible) is the base; when
+        # lane_schedule is on, EVERY scheduler-eligible step adopts the
+        # scheduler's order (schedule_step's lane order when it plans, else
+        # fallback_output_order's consumer-aware natural order) — measured
+        # end-to-end in round 2 at 1.93s vs 2.19s for residual-only orders.
+        # (Round-1 note: adopting the dot's "natural" order with NO
+        # consumer awareness was slower, 2.49s vs 2.19s — order choices
+        # must be deliberate, which is what the scheduler provides.)
         new_bonds = [b for b in bond_i if b not in contracted]
         new_bonds += [b for b in bond_j if b not in contracted and b not in new_bonds]
 

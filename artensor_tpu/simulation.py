@@ -187,11 +187,14 @@ class TensorNetworkSimulation:
         """
         import jax
 
+        from .cache import enable_compile_cache
         from .ops.field import make_field
         from .runtime import executor as ex
         from .runtime import metrics as mt
         from .runtime.segmented import apply_dense_step
         from .runtime.sparse import apply_sparse_step, execute_sparse
+
+        enable_compile_cache()
 
         field = make_field(dtype, precision, mode, algo)
         arrays = ex.stage_tensors(

@@ -58,9 +58,8 @@ def main():
 
     # persistent compilation cache: later runs in the same repo skip the
     # (1-10 min) XLA compile when the program is unchanged
-    os.makedirs(".jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    from artensor_tpu.cache import enable_compile_cache
+    enable_compile_cache(os.path.abspath(".jax_cache"))
 
     from artensor_tpu import plan_io
     from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
