@@ -33,8 +33,11 @@ def stage_tensors(field, arrays):
 def apply_dense_step(field, x, y, s):
     if getattr(s, "lane", None) is not None \
             and getattr(field, "supports_lanes", False):
+        from .gatherk import GKPlan, apply_gk_step
         from .lanes import PairPlan, apply_lane_step, apply_pair_step
 
+        if isinstance(s.lane, GKPlan):
+            return apply_gk_step(field, x, y, s.lane)
         if isinstance(s.lane, PairPlan):
             return apply_pair_step(field, x, y, s.lane)
         return apply_lane_step(field, x, y, s.lane)

@@ -1,0 +1,554 @@
+"""Gather-K step kernel: big-X x small-W contractions with SCATTERED
+contract legs, executed at the HBM roofline.
+
+The headline scheme's dominant step form (scripts/step_census.py) is
+
+    Y[free..., new...] = sum_K  X[free..., K scattered ...] . W[K, new]
+
+with X ~ 2^21-2^22 elements, K = prod(contract dims) in 8..64 and
+H = prod(new dims) in 4..64.  The round-2 lane kernel rejects these (its
+contiguous-lane discipline turns scattered contract legs into combo loops
+whose padded MXU passes fail the roofline gate), so they fall to the XLA
+multi-dim dot path, which adds relayout copies, separate re/im combine
+passes and an explicit output reorder — measured ~2x the modeled roofline
+for the whole scheme (1.93s vs 0.91s, docs/BENCH_NOTES.md).
+
+The trick here: every free X leg that is not part of the trailing free run
+becomes a SQUEEZED grid dimension of the Pallas block, so the scattered
+contract legs are automatically ADJACENT in the kernel's VMEM block — no
+data movement, the DMA engine just walks the strides.  The block is
+
+    X block  (c_1, ..., c_n, bf, 128)     c axes full, f run tiled
+    Y block  (H, bf, 128)                 placed anywhere via the grid map
+
+and the contraction runs as H*K unrolled VPU broadcast-FMAs (padding-free;
+the MXU is useless below K*H ~ 10^3 because a (H,K)x(K,blk) dot pads both
+H and K to 128) or, when the contract legs are contiguous and K is large,
+as per-128-column MXU dots.  All four re/im products fuse in VMEM: X is
+read from HBM exactly once, Y written exactly once, and the output leg
+ORDER is free (grid legs map anywhere), so the step needs no reorder pass
+and imposes NO layout demands on its producer.
+
+W is exactly K*H elements (every W leg is either contracted or fresh), so
+it is gathered into an (H, K) matrix by one tiny trace-time take.
+
+No reference analogue: /root/reference executes one torch.einsum per step
+(artensor/contraction.py:62-76).
+"""
+
+from dataclasses import dataclass
+from functools import partial, reduce
+from operator import mul
+
+import numpy as np
+
+MIN_X_ELEMS = 1 << 16    # below this XLA overhead is irrelevant
+HK_CAP = 1 << 14         # max W elements (= H*K; w4 = 4*HK_CAP f32 in VMEM)
+H_CAP = 2048             # max fresh-leg product (out block sublanes)
+UNROLL_CAP = 512         # max H*K for the unrolled VPU loop
+GRID_CAP = 1 << 15       # max grid programs
+VIEW_RANK_CAP = 10       # mosaic-safe view rank (rank-10 blocks with 7
+                         # leading full/squeezed axes compile and run on
+                         # the chip — scripts/gk_probe.py round-3 probe)
+BLOCK_F = 1 << 13        # target f elements per block
+# measured-rate envelope (see scripts/gk_probe2.py, tuned on the v5e chip:
+# the broadcast-FMA loop sustains ~0.9-1.0 TFLOP/s-true)
+VPU_FLOPS_PER_S = 1.0e12
+MXU_FLOPS_PER_S = 28.6e12
+HBM_BYTES_PER_S = 450e9
+SLACK = 2.0              # accept when est_gk < est_xla * SLACK — the XLA
+                         # estimate is an OPTIMISTIC bound (it ignores the
+                         # reorder pass, relayout copies and separate re/im
+                         # combines; round-2 measured the whole scheme at
+                         # ~2x its modeled floor on the XLA path)
+
+LAST_REJECT = None
+
+
+def _prod(xs):
+    return reduce(mul, xs, 1)
+
+
+def _rej(msg):
+    global LAST_REJECT
+    LAST_REJECT = msg
+    return None
+
+
+@dataclass(frozen=True)
+class GKPlan:
+    """Static metadata for one gather-K step."""
+
+    w_is_j: bool
+    view_x: tuple        # X view dims (storage order; f split as F/128,128)
+    x_axes: tuple        # per view axis: ('g', gid) | ('c', None) | ('f', k)
+    view_y: tuple
+    y_axes: tuple        # per view axis: ('g', gid) | ('H',) | ('f', k)
+    block: int           # f elements per block (multiple of 128)
+    K: int
+    H: int
+    c_dims: tuple        # dims of the c view axes (prod = K)
+    wk_idx: object       # (H, K) int32 gather into w_flat
+    use_mxu: bool
+    dims_y: tuple        # logical output dims (iy order)
+    flops: int           # true real flops (4-product counting)
+    est_s: float
+
+
+def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
+    """Modeled wall time of the XLA fallback for one step (K-discounted MXU
+    vs HBM traffic; reorder pass not included — this is the OPTIMISTIC
+    bound, so beating it is meaningful)."""
+    set_i, set_j, set_y = set(ix_i), set(ix_j), set(iy)
+    dim_of = dict(zip(ix_i, dims_i))
+    dim_of.update(zip(ix_j, dims_j))
+    K = _prod(int(dim_of[l]) for l in set_i & set_j if l not in set_y)
+    y_elems = _prod(int(dim_of[l]) for l in iy)
+    x_elems, w_elems = _prod(dims_i), _prod(dims_j)
+    flops = 4 * 2 * y_elems * K
+    traffic = 4 * 2 * (x_elems + w_elems + y_elems)
+    rate = MXU_FLOPS_PER_S * min(1.0, K / 128.0)
+    return max(flops / rate, traffic / HBM_BYTES_PER_S)
+
+
+def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
+    """Build a GKPlan for the step with the GIVEN output order, or None."""
+    iy = tuple(iy)
+    if len(set(iy)) != len(iy):
+        return _rej("iy-dup")
+    big_is_i = _prod(dims_i) >= _prod(dims_j)
+    if big_is_i:
+        w_is_j, ix_x, dims_x, ix_w, dims_w = True, ix_i, dims_i, ix_j, dims_j
+    else:
+        w_is_j, ix_x, dims_x, ix_w, dims_w = False, ix_j, dims_j, ix_i, dims_i
+    x_elems, w_elems = _prod(dims_x), _prod(dims_w)
+    if x_elems < MIN_X_ELEMS:
+        return _rej("x-small")
+    if w_elems > HK_CAP:
+        return _rej("w-big")
+    set_x, set_w, set_y = set(ix_x), set(ix_w), set(iy)
+    if set_x & set_w & set_y:
+        return _rej("shared-batch")
+    dim_of = {l: int(d) for l, d in zip(ix_x, dims_x)}
+    for l, d in zip(ix_w, dims_w):
+        dim_of[l] = int(d)
+    contract = [l for l in ix_x if l in set_w and l not in set_y]
+    n_legs_set = {l for l in ix_w if l in set_y}
+    if set_w != set(contract) | n_legs_set or len(n_legs_set) + len(
+            contract) != len(ix_w):
+        return _rej("w-legs")
+    if set_y != (set_x - set(contract)) | n_legs_set:
+        return _rej("y-legs")
+    if tuple(iy[:pin]) != tuple(ix_x[:pin]):
+        return _rej("iy-pin")
+    if any(l not in set_y for l in ix_x[:pin]):
+        return _rej("pin-contracted")
+    K = _prod(dim_of[l] for l in contract)
+    H = _prod(dim_of[l] for l in n_legs_set)
+    if H > H_CAP:
+        return _rej("H-cap")
+    cset = set(contract)
+
+    # trailing free run of X = the blocked f axis
+    n_f = 0
+    F = 1
+    for l in reversed(ix_x[pin:]):
+        if l in cset:
+            break
+        n_f += 1
+        F *= dim_of[l]
+    f_legs = list(ix_x[len(ix_x) - n_f:]) if n_f else []
+
+    def _contig_in_iy(run):
+        if run[0] not in set_y:
+            return False
+        k = iy.index(run[0])
+        return tuple(iy[k:k + len(run)]) == tuple(run)
+
+    # shrink until the run (a) splits as (F/128, 128) and (b) appears as a
+    # contiguous same-order run in iy (dropped legs become grid legs)
+    while f_legs and (F % 128 or not _contig_in_iy(f_legs)):
+        F //= dim_of[f_legs[0]]
+        f_legs = f_legs[1:]
+    if not f_legs or F % 128:
+        return _rej("no-f-run")
+    f_set = set(f_legs)
+    # block bounded by the VMEM budget for (x re/im + y re/im) blocks
+    vmem_budget = (12 << 20) // (4 * 2 * (K + H))
+    block = min(F, BLOCK_F, max(128, vmem_budget // 128 * 128))
+    while F % block:
+        block -= 128
+    if block < 128:
+        return _rej("block-small")
+
+    # ---- X view: merge adjacent same-class runs --------------------------
+    # g runs may only merge when they appear adjacently in iy in the same
+    # order (each merged run is ONE grid dim mapping to ONE y axis)
+    iy_pos = {l: k for k, l in enumerate(iy)}
+    raw = []
+    for l in ix_x:
+        if l in f_set:
+            cls = "f"
+        elif l in cset:
+            cls = "c"
+        else:
+            cls = "g"
+        if raw and raw[-1][0] == cls == "c":
+            raw[-1][1].append(l)
+        elif (raw and raw[-1][0] == cls == "g"
+                and iy_pos[l] == iy_pos[raw[-1][1][-1]] + 1):
+            raw[-1][1].append(l)
+        elif raw and raw[-1][0] == cls == "f":
+            raw[-1][1].append(l)
+        else:
+            raw.append([cls, [l]])
+    x_axes = []
+    view_x = []
+    c_dims = []
+    g_runs = []          # leg tuples, one per grid dim (in view order)
+    for cls, legs in raw:
+        d = _prod(dim_of[l] for l in legs)
+        if cls == "c":
+            x_axes.append(("c", None))
+            view_x.append(d)
+            c_dims.append(d)
+        elif cls == "g":
+            x_axes.append(("g", len(g_runs)))
+            view_x.append(d)
+            g_runs.append(tuple(legs))
+        else:
+            x_axes.append(("f", 0))
+            view_x.append(F // 128)
+            x_axes.append(("f", 1))
+            view_x.append(128)
+    if len(view_x) > VIEW_RANK_CAP:
+        return _rej("rank")
+    if any(kind == "g" for kind, _ in x_axes[-2:]):
+        return _rej("g-in-tile")
+    n_grid = _prod(_prod(dim_of[l] for l in r) for r in g_runs)
+    if n_grid * (F // block) > GRID_CAP:
+        return _rej("grid-cap")
+
+    # ---- Y view from iy --------------------------------------------------
+    n_legs = [l for l in iy if l in n_legs_set]   # H digit order = iy order
+    run_of = {}
+    for gid, legs in enumerate(g_runs):
+        run_of[legs[0]] = (gid, legs)
+    y_axes = []
+    view_y = []
+    k = 0
+    while k < len(iy):
+        l = iy[k]
+        if l in n_legs_set:
+            if tuple(iy[k:k + len(n_legs)]) != tuple(n_legs):
+                return _rej("h-contig")
+            y_axes.append(("H",))
+            view_y.append(H)
+            k += len(n_legs)
+        elif l in f_set:
+            if tuple(iy[k:k + len(f_legs)]) != tuple(f_legs):
+                return _rej("f-contig")
+            y_axes.append(("f", 0))
+            view_y.append(F // 128)
+            y_axes.append(("f", 1))
+            view_y.append(128)
+            k += len(f_legs)
+        else:
+            if l not in run_of:
+                return _rej("g-split")
+            gid, legs = run_of[l]
+            if tuple(iy[k:k + len(legs)]) != legs:
+                return _rej("g-split")
+            y_axes.append(("g", gid))
+            view_y.append(_prod(dim_of[x] for x in legs))
+            k += len(legs)
+    if not any(a[0] == "H" for a in y_axes):
+        # H == 1 (W fully contracted): no H axis in the output view
+        if H != 1:
+            return _rej("h-missing")
+    else:
+        # H must come before the f run (an H minor axis has bad lanes)
+        hy = next(k for k, a in enumerate(y_axes) if a[0] == "H")
+        fy = [k for k, a in enumerate(y_axes) if a[0] == "f"]
+        if fy and hy > fy[0]:
+            return _rej("h-after-f")
+    if any(a[0] == "g" for a in y_axes[-2:]):
+        return _rej("g-in-tile-y")
+
+    # ---- wk gather (host) ------------------------------------------------
+    w_strides = {}
+    s = 1
+    for l in reversed(ix_w):
+        w_strides[l] = s
+        s *= dim_of[l]
+
+    def _digits(idx, dims):
+        out = []
+        rem = idx
+        for d in reversed(dims):
+            out.append(rem % d)
+            rem = rem // d
+        out.reverse()
+        return out
+
+    hi = np.arange(H, dtype=np.int64)
+    h_vals = dict(zip(n_legs, _digits(hi, [dim_of[l] for l in n_legs]))) \
+        if n_legs else {}
+    ki = np.arange(K, dtype=np.int64)
+    k_vals = dict(zip(contract, _digits(ki, [dim_of[l] for l in contract])))
+    idx = np.zeros((H, K), dtype=np.int64)
+    for l in n_legs:
+        idx += h_vals[l][:, None] * w_strides[l]
+    for l in contract:
+        idx += k_vals[l][None, :] * w_strides[l]
+
+    # ---- cost model / mxu-vs-vpu ----------------------------------------
+    # The block (c_1..c_n, bf, 128) reshapes FREELY to (K, bf, 128) inside
+    # the kernel (collapsing leading dims leaves the tiled last-two dims
+    # untouched), so both compute paths work for arbitrarily scattered
+    # contract legs:
+    #   vpu   H*K unrolled broadcast-FMAs, padding-free, ~1 TFLOP/s-true
+    #   mxu   ONE re/im-packed (2H,2K)@(2K,128) dot per 128-lane column
+    #         (the real 2x2 representation of complex multiply folds all
+    #         four products into the dot) — pays pad-to-128 on both sides
+    y_elems = x_elems // max(K, 1) * H
+    flops = 4 * 2 * (x_elems // max(K, 1)) * K * H
+    traffic_s = 4 * 2 * (x_elems + y_elems + K * H) / HBM_BYTES_PER_S
+    vpu_s = flops / VPU_FLOPS_PER_S
+    pad = lambda n: -(-n // 128) * 128
+    mxu_s = (2 * (x_elems // max(K, 1) // 128)
+             * pad(2 * K) * pad(2 * H) * 128 / MXU_FLOPS_PER_S)
+    vpu_ok = 4 * K * H <= UNROLL_CAP
+    use_mxu = (not vpu_ok) or mxu_s < vpu_s
+    compute_s = mxu_s if use_mxu else vpu_s
+    est_s = max(traffic_s, compute_s)
+    est_xla = xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j)
+    if est_s > est_xla * SLACK:
+        return _rej("not-better")
+    dims_y = tuple(dim_of[l] for l in iy)
+    return GKPlan(w_is_j, tuple(view_x), tuple(x_axes), tuple(view_y),
+                  tuple(y_axes), block, K, H, tuple(c_dims),
+                  idx.astype(np.int32), use_mxu, dims_y, flops, est_s)
+
+
+F_PROTECT = 1 << 10      # min tail-run elements kept minor before a
+                         # consumer-contract leg may stop its growth
+
+
+def gk_output_order(ix_i, ix_j, iy_set, dims_i, dims_j, pin=0,
+                    consumer_contract=()):
+    """The GK-natural output order: pinned prefix, then the CONSUMER's
+    contract legs (so the consumer sees them leading — a long minor free
+    run and, when they stay contiguous, an MXU-eligible contiguous K), then
+    X's remaining free legs in storage order with the fresh W legs inserted
+    before the trailing free run.  For a GK-executed step every hoist is a
+    grid-leg relabel — zero data movement — which is what breaks the
+    round-2 chicken-and-egg (consumers could not kernel-plan because
+    producers had not hoisted, and hints were only delivered to planned
+    consumers).
+
+    The trailing run stops growing at a consumer-contract leg once it has
+    ``F_PROTECT`` elements: enough minor run for efficient DMA blocks,
+    everything above it hoistable (the round-2 advisor flagged the v1
+    F_MIN = 2^30 as effectively disabling this hoist)."""
+    big_is_i = _prod(dims_i) >= _prod(dims_j)
+    ix_x = ix_i if big_is_i else ix_j
+    ix_w = ix_j if big_is_i else ix_i
+    dims_x = dims_i if big_is_i else dims_j
+    dim_of = {l: int(d) for l, d in zip(ix_x, dims_x)}
+    set_w = set(ix_w)
+    pinned = list(ix_x[:pin])
+    free = [l for l in ix_x[pin:] if l in iy_set]
+    new = [l for l in ix_w if l in iy_set and l not in set(ix_x)]
+    cset = {l for l in ix_x if l in set_w and l not in iy_set}
+    ccset = set(consumer_contract)
+    # trailing free run: stop at contract legs always, at consumer-contract
+    # legs once F_PROTECT elements are minor
+    n_f = 0
+    F = 1
+    for l in reversed(ix_x[pin:]):
+        if l in cset or (F >= F_PROTECT and l in ccset):
+            break
+        n_f += 1
+        F *= dim_of.get(l, 2)
+    tail = [l for l in ix_x[len(ix_x) - n_f:] if l in iy_set] if n_f else []
+    tset = set(tail)
+    hoist = [l for l in free if l in ccset and l not in tset]
+    rest = [l for l in free if l not in ccset and l not in tset]
+    new_sorted = [l for l in new if l in ccset] \
+        + [l for l in new if l not in ccset]
+    # the fresh-leg (H) run is contiguous either way; put it early when the
+    # consumer contracts any of it (fresh legs are gate-output wires and
+    # usually get consumed next)
+    if any(l in ccset for l in new):
+        return tuple(pinned + hoist + new_sorted + rest + tail)
+    return tuple(pinned + hoist + rest + new_sorted + tail)
+
+
+# -- execution -------------------------------------------------------------
+
+def _build_wk(w_flat, plan):
+    import jax.numpy as jnp
+
+    return jnp.take(w_flat.reshape((-1,)), jnp.asarray(plan.wk_idx))
+
+
+def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
+    import jax.numpy as jnp
+    from jax import lax
+
+    K, H = plan.K, plan.H
+    bf = plan.block // 128
+    # collapsing the leading c axes is layout-preserving (the tiled last
+    # two dims (bf, 128) are untouched), so scattered contract legs cost
+    # nothing here
+    xrv = xr_ref[...].reshape(K, bf, 128)
+    xiv = xi_ref[...].reshape(K, bf, 128)
+
+    def store_idx(h_sel, fi):
+        idx = []
+        for a in plan.y_axes:
+            if a[0] == "H":
+                idx.append(h_sel)
+            elif a == ("f", 0):
+                idx.append(fi)
+            elif a == ("f", 1):
+                idx.append(slice(None))
+            # 'g' squeezed: no entry
+        return tuple(idx)
+
+    if plan.use_mxu:
+        # one re/im-packed dot per 128-lane column:
+        #   W4 (2H, 2K) = [[wr, -wi], [wi, wr]],  Xc (2K, 128) = [xr; xi]
+        #   W4 @ Xc = [re; im]
+        dotf = partial(lax.dot_general,
+                       dimension_numbers=(((1,), (0,)), ((), ())),
+                       precision=lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        w4 = jnp.concatenate(
+            [jnp.concatenate([wr_ref[...], -wi_ref[...]], axis=1),
+             jnp.concatenate([wi_ref[...], wr_ref[...]], axis=1)], axis=0)
+        xc = jnp.concatenate([xrv, xiv], axis=0)    # (2K, bf, 128)
+        has_h = any(a[0] == "H" for a in plan.y_axes)
+        for fi in range(bf):
+            o = dotf(w4, xc[:, fi])                 # (2H, 128)
+            re, im = o[:H], o[H:]
+            if not has_h:                           # H == 1: no H out axis
+                re, im = re[0], im[0]
+            or_ref[store_idx(slice(None), fi)] = re
+            oi_ref[store_idx(slice(None), fi)] = im
+        return
+
+    for h in range(H):
+        re = im = None
+        for k in range(K):
+            xrk = xrv[k]
+            xik = xiv[k]
+            wr = wr_ref[h, k]
+            wi = wi_ref[h, k]
+            r = wr * xrk - wi * xik
+            i = wi * xrk + wr * xik
+            re = r if re is None else re + r
+            im = i if im is None else im + i
+        or_ref[store_idx(h, slice(None))] = re
+        oi_ref[store_idx(h, slice(None))] = im
+
+
+def apply_gk_step(field, x, y, plan, interpret=None):
+    """Execute one gather-K step on SplitField pairs (traceable)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .lowering import physical_shape
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xv, wv = (x, y) if plan.w_is_j else (y, x)
+    wr = _build_wk(wv[0], plan)
+    wi = _build_wk(wv[1], plan)
+    xr = xv[0].reshape(plan.view_x)
+    xi = xv[1].reshape(plan.view_x)
+
+    bf = plan.block // 128
+    g_count = sum(1 for kind, _x in plan.x_axes if kind == "g")
+    F128 = next(plan.view_x[k] for k, a in enumerate(plan.x_axes)
+                if a == ("f", 0))
+    grid = tuple(plan.view_x[k] for k, a in enumerate(plan.x_axes)
+                 if a[0] == "g") + (F128 // bf,)
+    g_pos = {}
+    gi = 0
+    for kind, gid in plan.x_axes:
+        if kind == "g":
+            g_pos[gid] = gi
+            gi += 1
+
+    xblock = []
+    for k, (kind, gid) in enumerate(plan.x_axes):
+        if kind == "c":
+            xblock.append(plan.view_x[k])
+        elif kind == "g":
+            xblock.append(None)
+        elif (kind, gid) == ("f", 0):
+            xblock.append(bf)
+        else:
+            xblock.append(128)
+
+    def x_index(*gids):
+        out = []
+        for kind, gid in plan.x_axes:
+            if kind == "c":
+                out.append(0)
+            elif kind == "g":
+                out.append(gids[g_pos[gid]])
+            elif gid == 0:   # ('f', 0)
+                out.append(gids[-1])
+            else:            # ('f', 1)
+                out.append(0)
+        return tuple(out)
+
+    yblock = []
+    for k, a in enumerate(plan.y_axes):
+        if a[0] == "g":
+            yblock.append(None)
+        elif a[0] == "H":
+            yblock.append(plan.H)
+        elif a == ("f", 0):
+            yblock.append(bf)
+        else:
+            yblock.append(128)
+
+    def y_index(*gids):
+        out = []
+        for a in plan.y_axes:
+            if a[0] == "g":
+                out.append(gids[g_pos[a[1]]])
+            elif a[0] == "H":
+                out.append(0)
+            elif a == ("f", 0):
+                out.append(gids[-1])
+            else:
+                out.append(0)
+        return tuple(out)
+
+    wspec = pl.BlockSpec((plan.H, plan.K), lambda *g: (0, 0),
+                         memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec(tuple(xblock), x_index, memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec(tuple(yblock), y_index, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(plan.view_y, jnp.float32)
+    traffic = 4 * 2 * (_prod(plan.view_x) + _prod(plan.view_y)
+                       + plan.K * plan.H)
+    yr, yi = pl.pallas_call(
+        partial(_gk_kernel, plan=plan),
+        grid=grid,
+        in_specs=[xspec, xspec, wspec, wspec],
+        out_specs=(yspec, yspec),
+        out_shape=(out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.flops, bytes_accessed=traffic, transcendentals=0),
+        interpret=interpret,
+    )(xr, xi, wr, wi)
+    return field.reshape((yr, yi), physical_shape(plan.dims_y))

@@ -58,7 +58,12 @@ WP_ELEMS_CAP = 1 << 19   # max elements of the expanded lane matrix (VMEM)
 MIN_X_ELEMS = 1 << 16    # below this, XLA overhead is irrelevant: fall back
 SMALL_W_ELEMS = 1 << 13  # "small operand" bound
 BLOCK_ELEMS = 1 << 18    # target X-block elements per kernel program
-F_MIN = 1 << 30              # min elements of the protected free run
+F_MIN = 1 << 10              # min elements of the protected free run; a
+                             # consumer-contract leg deeper than this is
+                             # hoisted out of the f run (round-2 shipped
+                             # 2^30 = hoist disabled, which buried the
+                             # consumer's contract legs and broke the
+                             # round-3 gather-K kernel chain downstream)
 
 # chip envelope (measured, one v5e core): dense f32 HIGHEST matmul rate and
 # the streaming rate the lane kernel itself achieves.  A lane plan is only
@@ -490,6 +495,19 @@ def schedule_step(ix_i, ix_j, iy_set, dims_i, dims_j, consumer_contract=(),
                 if p is not None and (best is None
                                       or p.est_s < best[1].est_s):
                     best = (iy_k, p)
+    # gather-K candidate: no layout demands on the producer, scattered
+    # contract legs welcome — prefer it unless the v1 lane plan is clearly
+    # faster (v1 reaches full-MXU width when the layout cooperates, but
+    # its layout must be DELIVERED by the producer, which costs a reorder
+    # the est_s numbers don't see)
+    from .gatherk import gk_output_order, plan_gk_step
+
+    iy_gk = gk_output_order(ix_i, ix_j, iy_set, dims_i, dims_j, pin=pin,
+                            consumer_contract=consumer_contract)
+    gkp = plan_gk_step(ix_i, ix_j, iy_gk, dims_i, dims_j, pin=pin)
+    if gkp is not None and (best is None
+                            or gkp.est_s <= best[1].est_s * 1.25):
+        return iy_gk, gkp
     if best is not None:
         return best
     if (_prod(dims_i) > SMALL_W_ELEMS and _prod(dims_j) > SMALL_W_ELEMS
@@ -648,10 +666,13 @@ def apply_lane_step(field, x, y, plan, interpret=None):
 
 # -- both-big pair kernel ---------------------------------------------------
 
-LANE_STEPS_CAP = 48    # max Pallas calls per scheme: every kernel adds
+LANE_STEPS_CAP = 160   # max Pallas calls per scheme: every kernel adds
                        # remote-compile cost, and pod-scale schemes (450+
                        # steps) measured pathological compile times with
-                       # unbounded kernel counts
+                       # unbounded kernel counts.  Raised from 48 in round
+                       # 3: gather-K kernels cover most steps of the
+                       # headline scheme and their compile cost is small
+                       # (compile measured end-to-end in bench.py)
 PAIR_K_CAP = 2048      # contract size per kernel (VMEM: 2 ops x 2 comps)
 PAIR_TILE = 256
 

@@ -47,6 +47,14 @@ class SparseStep:
     lowered: object          # Lowered (non-chunked) or None
     lowered_chunks: tuple | None  # aligned: one Lowered per chunk
     lane: object = None      # LanePlan when the step runs on the Pallas path
+    note: str = None         # diagnostics: why no kernel plan was attached
+
+
+def _prod_dims(dim_of, bonds):
+    p = 1
+    for b in bonds:
+        p *= dim_of[b]
+    return p
 
 
 def _bits_to_ints(bits):
@@ -78,50 +86,95 @@ def _relabel(*index_lists):
     return tuple(tuple(lab[b] for b in ix) for ix in index_lists)
 
 
-def _consumer_contract_map(order, tensor_bonds, final_qubit_tensors=()):
-    """Per-step: the contract-leg set of the step that CONSUMES its output.
+def _bond_contract_times(order, tensor_bonds):
+    """For each bond, the step index at which it is contracted away.
 
-    Contract sets depend only on bond membership (not on chosen axis
-    orders), so this pre-pass is exact for the second, order-choosing pass.
-    Steps whose BOTH operands carry amplitude batches (future cross /
-    aligned-gather merges) are never lane-schedulable, so their producers
-    get an empty hint — paying reorder traffic to deliver them a
-    lane-friendly layout buys nothing and feeding scheduler-exotic orders
-    into the chunked-gather lowering has measured compile blowups.
+    Bonds that survive to the output (open legs) are absent.  Membership
+    only — independent of any axis-order choices, so this pre-pass is
+    exact for the order-choosing main pass.
     """
     bonds = {t: list(bs) for t, bs in tensor_bonds.items()}
-    batched = {t: t in set(final_qubit_tensors) for t in bonds}
-    contracted_at = []
-    both_batched = []
-    for i, j in order:
+    time_of = {}
+    for t, (i, j) in enumerate(order):
         common = set(bonds[i]) & set(bonds[j])
         still = {
             b for b in common
-            if any(b in bonds[t] for t in bonds if t not in (i, j) and bonds[t])
+            if any(b in bonds[t2] for t2 in bonds
+                   if t2 not in (i, j) and bonds[t2])
         }
-        contracted = common - still
-        new_bonds = [b for b in bonds[i] if b not in contracted]
+        for b in common - still:
+            time_of[b] = t
+        new_bonds = [b for b in bonds[i] if b not in common or b in still]
         new_bonds += [b for b in bonds[j]
-                      if b not in contracted and b not in new_bonds]
+                      if (b not in common or b in still)
+                      and b not in new_bonds]
         bonds[i], bonds[j] = new_bonds, []
-        contracted_at.append(contracted)
-        both_batched.append(batched[i] and batched[j])
-        batched[i] = batched[i] or batched[j]
-    consumer = [set() for _ in order]
-    consumer_idx = [-1] * len(order)
-    producer = {}
-    for t, (i, j) in enumerate(order):
-        for o in (i, j):
-            if o in producer:
-                consumer[producer[o]] = (set() if both_batched[t]
-                                         else contracted_at[t])
-                consumer_idx[producer[o]] = t
-        producer[i] = t
-    return consumer, consumer_idx
+    return time_of
+
+
+def _time_sorted_output(bond_i, bond_j, new_bonds, time_of, big_is_i,
+                        full_sort=False, fresh_first=False):
+    """Output order by time-to-contraction (soonest first, open legs last).
+
+    ``full_sort`` (small tensors): sort every leg — cheap transposes that
+    ESTABLISH the time-ordered invariant before tensors get big.  Large
+    tensors instead PRESERVE the big operand's surviving leg order and
+    only insert the small side's fresh bonds as one contiguous block at
+    their earliest member's time position (insertion-sort discipline).
+    Preserving the order is what keeps the consumer's trailing free run an
+    exact contiguous suffix of its X's storage — a full re-sort is not
+    idempotent across steps (fresh-block insertions), and any deviation
+    breaks the gather-K kernel's f-run match downstream.  The fresh block
+    stays contiguous because it is the kernel's H run.
+    """
+    INF = 1 << 60
+
+    def tkey(b):
+        return (time_of.get(b, INF), str(b))
+
+    if full_sort:
+        # no fresh-block grouping either: these steps run XLA (too small
+        # or too big for gather-K), so H-contiguity buys nothing and a
+        # heterogeneous fresh block would plant local inversions that the
+        # preserve-order discipline then carries forever
+        return sorted(new_bonds, key=tkey)
+    xb = bond_i if big_is_i else bond_j
+    wb = bond_j if big_is_i else bond_i
+    nset = set(new_bonds)
+    xset = set(xb)
+    fresh = sorted((b for b in wb if b in nset and b not in xset), key=tkey)
+    fset = set(fresh)
+    others = [b for b in xb if b in nset and b not in fset]
+    others += [b for b in new_bonds if b not in fset and b not in set(others)]
+    if not fresh:
+        return others
+    if fresh_first:
+        # both-batched (cross) steps: the kernel's H run is (BJ, fresh),
+        # so fresh must directly follow the batch axes.  Placing late legs
+        # early is harmless for downstream f runs (only EARLY legs placed
+        # late break them).
+        return fresh + others
+    fkey = min(tkey(b) for b in fresh)
+    k = 0
+    while k < len(others) and tkey(others[k]) < fkey:
+        k += 1
+    # never split the trailing minor run: an insertion inside the last
+    # ~2^10 elements would break THIS output's own f-run contiguity for
+    # its consumer (placing the block early instead is a late-early
+    # inversion, which downstream f runs tolerate)
+    prod = 1
+    kmin = len(others)
+    while kmin > 0 and prod < (1 << 10):
+        kmin -= 1
+        prod *= 2
+    k = min(k, kmin)
+    return others[:k] + fresh + others[k:]
 
 
 def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                               lane_schedule=True, _hints=None):
+    # _hints is accepted for backward compatibility and ignored: the
+    # round-2 hint fixpoint is superseded by time-ordered layouts (below)
     """Compile the big-batch scheme.
 
     Parameters
@@ -167,10 +220,8 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
         else:
             info[tid] = ([], np.array([-1], dtype=np.int64))
 
-    consumer_contract = consumer_idx = None
-    if lane_schedule:
-        consumer_contract, consumer_idx = _consumer_contract_map(
-            order, tn.tensor_bonds, final_qubits)
+    time_of = _bond_contract_times(order, tn.tensor_bonds) \
+        if lane_schedule else {}
     steps = []
     last = None
     for t, (i, j) in enumerate(order):
@@ -181,64 +232,40 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
             if any(b in bonds[t2] for t2 in bonds if t2 not in (i, j) and bonds[t2])
         }
         contracted = [b for b in common if b not in still_used]
-        # Residual output order (reference-compatible) is the base; when
-        # lane_schedule is on, EVERY scheduler-eligible step adopts the
-        # scheduler's order (schedule_step's lane order when it plans, else
-        # fallback_output_order's consumer-aware natural order) — measured
-        # end-to-end in round 2 at 1.93s vs 2.19s for residual-only orders.
-        # (Round-1 note: adopting the dot's "natural" order with NO
-        # consumer awareness was slower, 2.49s vs 2.19s — order choices
-        # must be deliberate, which is what the scheduler provides.)
         new_bonds = [b for b in bond_i if b not in contracted]
         new_bonds += [b for b in bond_j if b not in contracted and b not in new_bonds]
 
         q_i, rep_i = info[i]
         q_j, rep_j = info[j]
         lane = None
-        # the lane scheduler covers unbatched steps and pass-steps whose
-        # BATCHED side is the bigger operand (batch stays the leading row
-        # leg); both-batched (cross/aligned) steps keep their fixed orders
-        if lane_schedule and bond_i and bond_j and new_bonds \
-                and not (q_i and q_j):
-            from .lanes import schedule_step
-
-            BT = "#sched-batch"
-            dims_bi0 = [dim_of[b] for b in bond_i]
-            dims_bj0 = [dim_of[b] for b in bond_j]
-            axi, axj = tuple(bond_i), tuple(bond_j)
-            di, dj = tuple(dims_bi0), tuple(dims_bj0)
-            yset = set(new_bonds)
-            batched = bool(q_i) or bool(q_j)
-            if q_i:
-                axi = (BT, *axi)
-                di = (len(rep_i), *di)
-                yset = yset | {BT}
-            elif q_j:
-                axj = (BT, *axj)
-                dj = (len(rep_j), *dj)
-                yset = yset | {BT}
-            from .lanes import _prod as _lprod
-
-            big_is_i = _lprod(di) >= _lprod(dj)
-            batched_is_small = (bool(q_i) and not big_is_i) \
-                or (bool(q_j) and big_is_i)
-            if not (batched and batched_is_small):
-                # batched-big steps pin the batch axis as the leading
-                # grid leg (the batch-first convention is load-bearing:
-                # gathers, cross reshapes and the final output assume it)
-                pin = 1 if (batched and big_is_i == bool(q_i)) else 0
-                # deliver consumer-friendly orders only when the consumer
-                # actually lane-plans (fixpoint pass below): a reorder
-                # that buys nothing downstream is pure extra traffic
-                ci = consumer_idx[t]
-                cset_t = consumer_contract[t] \
-                    if (_hints is None or (0 <= ci and _hints[ci])) else ()
-                iy_hint, lane = schedule_step(axi, axj, yset, di, dj,
-                                              cset_t, pin=pin)
-                if not batched or iy_hint[0] == BT:
-                    new_bonds = [b for b in iy_hint if b != BT]
-                else:
-                    lane = None   # batch would move off the leading axis
+        note = None
+        if lane_schedule and new_bonds and bond_i and bond_j:
+            # TIME-ORDERED layout discipline: every output's legs sorted by
+            # the step at which they get contracted (soonest first; open /
+            # batch-destined legs last).  Inductively every step then sees
+            # its contract legs LEADING and a long trailing free run — the
+            # exact shape the gather-K kernel wants — with NO per-consumer
+            # hint negotiation (round 2's hint fixpoint could never hoist a
+            # leg out of a producer's protected minor run, which kept the
+            # kernel chain broken).  Exception: unbatched big-big merges
+            # take the pair kernel's (rows_i, rows_j) form instead.
+            size_i = len(rep_i) * _prod_dims(dim_of, bond_i) \
+                if q_i else _prod_dims(dim_of, bond_i)
+            size_j = len(rep_j) * _prod_dims(dim_of, bond_j) \
+                if q_j else _prod_dims(dim_of, bond_j)
+            from .gatherk import HK_CAP, MIN_X_ELEMS
+            # full re-sort when this step runs XLA anyway: too small for
+            # gather-K, or a huge both-big merge beyond its W capacity.
+            # The huge merges junction two preserved chains — paying their
+            # one XLA output-reorder re-establishes the global invariant
+            # instead of poisoning every downstream f run.
+            new_bonds = _time_sorted_output(
+                bond_i, bond_j, new_bonds, time_of,
+                size_i >= size_j,
+                full_sort=(max(size_i, size_j) < MIN_X_ELEMS
+                           or (not q_i and not q_j
+                               and min(size_i, size_j) > HK_CAP)),
+                fresh_first=bool(q_i and q_j))
         bonds[i], bonds[j] = new_bonds, []
         merged_q = sorted(q_i + q_j)
         gathers = reshape = None
@@ -333,14 +360,25 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
             lowered = lower_step(ix_i, ix_j, iy, dims_i, dims_j)
             lowered_chunks = None
             if lane is None and lane_schedule:
-                # batched pass/cross steps can still be lane-eligible with
-                # their fixed (batch-leading) output order
-                from .lanes import plan_lane_step
+                # kernel selection against the (time-ordered) output order:
+                # gather-K first (covers scattered-K small-W forms incl.
+                # cross merges — the two batch axes are ordinary grid/H
+                # legs to it), then the v1 lane kernel, then the both-big
+                # pair kernel (its (rows_i, rows_j) form was chosen above)
+                from . import gatherk
+                from .gatherk import plan_gk_step
+                from .lanes import plan_lane_step, plan_pair_step
 
-                lane = plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j)
+                gatherk.LAST_REJECT = None
+                lane = plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j)
+                note = gatherk.LAST_REJECT
+                if lane is None:
+                    lane = plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j)
+                if lane is None:
+                    lane = plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j)
         steps.append(SparseStep(i, j, ix_i, ix_j, iy,
                                 gathers, reshape, post_select,
-                                lowered, lowered_chunks, lane))
+                                lowered, lowered_chunks, lane, note))
         info[i] = (merged_q, rep)
         last = i
 
@@ -351,18 +389,6 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
         from .lanes import prune_lane_plans
 
         prune_lane_plans(steps)
-    if lane_schedule and _hints is None:
-        # fixpoint over "which steps lane-plan": recompile with orders
-        # adjusted to whether each consumer actually planned
-        hints = [s.lane is not None for s in steps]
-        for _ in range(3):
-            res = contraction_scheme_sparse(ctree, bitstrings, sc_target,
-                                            lane_schedule, _hints=hints)
-            new_hints = [s.lane is not None for s in res[0]]
-            if new_hints == hints:
-                return res
-            hints = new_hints
-        return res
     return steps, bonds[last], bitstrings_sorted
 
 
@@ -378,9 +404,12 @@ def apply_sparse_step(field, x, y, s):
         ]
         return parts[0] if len(parts) == 1 else field.concat(parts, axis=0)
     if s.lane is not None and getattr(field, "supports_lanes", False):
+        from .gatherk import GKPlan, apply_gk_step
         from .lanes import PairPlan, apply_lane_step, apply_pair_step
 
-        if isinstance(s.lane, PairPlan):
+        if isinstance(s.lane, GKPlan):
+            out = apply_gk_step(field, x, y, s.lane)
+        elif isinstance(s.lane, PairPlan):
             out = apply_pair_step(field, x, y, s.lane)
         else:
             out = apply_lane_step(field, x, y, s.lane)

@@ -1,0 +1,171 @@
+"""Gather-K kernel unit tests: plan invariants + kernel vs einsum oracle.
+
+Shapes are kept small (grid <= 8, H*K <= 32) because interpret-mode Pallas
+compiles slowly; every structural feature still goes through the kernel:
+scattered contract legs, merged g runs, pinned batch legs, H placement,
+the H == 1 degenerate form, and the MXU contiguous-K path.
+"""
+
+import numpy as np
+import pytest
+
+from artensor_tpu.ops.field import make_field
+from artensor_tpu.runtime import gatherk as gk
+from artensor_tpu.runtime.gatherk import (
+    apply_gk_step,
+    gk_output_order,
+    plan_gk_step,
+)
+
+
+def _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(dims_x) + 1j * rng.standard_normal(dims_x)) \
+        .astype(np.complex64)
+    w = (rng.standard_normal(dims_w) + 1j * rng.standard_normal(dims_w)) \
+        .astype(np.complex64)
+    lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+    want = np.einsum(x, [lab[l] for l in ix_x], w, [lab[l] for l in ix_w],
+                     [lab[l] for l in iy])
+    field = make_field(np.complex64, "highest", "split")
+    xs = field.wrap(x.reshape(-1))
+    ws = field.wrap(w.reshape(-1))
+    got = apply_gk_step(field, xs, ws, plan, interpret=True)
+    dim_of = dict(zip(ix_x, dims_x))
+    dim_of.update(zip(ix_w, dims_w))
+    got = field.unwrap(got).reshape([dim_of[l] for l in iy])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def _plan(ix_x, ix_w, iy, dims_x, dims_w, pin=0, min_x=1):
+    old, olds = gk.MIN_X_ELEMS, gk.SLACK
+    gk.MIN_X_ELEMS, gk.SLACK = min_x, 1e9   # test shapes are tiny: bypass
+    try:                                    # the est-vs-XLA economics gate
+        return plan_gk_step(ix_x, ix_w, iy, dims_x, dims_w, pin=pin)
+    finally:
+        gk.MIN_X_ELEMS, gk.SLACK = old, olds
+
+
+def test_scattered_contract_legs():
+    ix_x = ("g1", "c1", "g2", "c2", "f1")
+    dims_x = (2, 2, 4, 2, 256)
+    ix_w = ("c1", "c2", "n1")
+    dims_w = (2, 2, 2)
+    iy = ("g1", "g2", "n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None and not plan.use_mxu
+    assert plan.K == 4 and plan.H == 2
+    assert len(plan.c_dims) == 2      # scattered: two c view axes
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_merged_g_runs_and_h_position():
+    # adjacent g legs merge into ONE grid dim when iy keeps them adjacent
+    ix_x = ("g1", "g2", "c1", "f1")
+    dims_x = (2, 2, 4, 512)
+    ix_w = ("c1", "n1", "n2")
+    dims_w = (4, 2, 2)
+    iy = ("g1", "g2", "n1", "n2", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None
+    assert sum(1 for a in plan.x_axes if a[0] == "g") == 1
+    assert plan.H == 4
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_pinned_batch_leg():
+    # a leading batch axis stays the leading output axis (sparse pass-step)
+    ix_x = ("b", "c1", "g1", "f1")
+    dims_x = (3, 2, 2, 256)
+    ix_w = ("c1", "n1")
+    dims_w = (2, 2)
+    iy = ("b", "g1", "n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w, pin=1)
+    assert plan is not None
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_h_equals_one():
+    # W fully contracted: no H axis in the output view
+    ix_x = ("g1", "c1", "f1")
+    dims_x = (4, 4, 256)
+    ix_w = ("c1",)
+    dims_w = (4,)
+    iy = ("g1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None and plan.H == 1
+    assert not any(a[0] == "H" for a in plan.y_axes)
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_mxu_contiguous_k():
+    # one contiguous contract run + large K*H -> MXU per-column dots
+    ix_x = ("c1", "c2", "c3", "c4", "c5", "c6", "f1")
+    dims_x = (2, 2, 2, 2, 2, 2, 256)
+    ix_w = ("c1", "c2", "c3", "c4", "c5", "c6", "n1")
+    dims_w = (2, 2, 2, 2, 2, 2, 32)
+    iy = ("n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None and plan.use_mxu
+    assert plan.K == 64 and plan.H == 32
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_w_on_the_left():
+    # operand order must not matter: W passed as ix_i
+    ix_w = ("c1", "n1")
+    dims_w = (2, 2)
+    ix_x = ("g1", "c1", "f1")
+    dims_x = (4, 2, 256)
+    iy = ("g1", "n1", "f1")
+    plan = _plan(ix_w, ix_x, iy, dims_w, dims_x)
+    assert plan is not None and not plan.w_is_j
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal(dims_w) + 1j * rng.standard_normal(dims_w)) \
+        .astype(np.complex64)
+    x = (rng.standard_normal(dims_x) + 1j * rng.standard_normal(dims_x)) \
+        .astype(np.complex64)
+    want = np.einsum("cn,gcf->gnf", w, x)
+    field = make_field(np.complex64, "highest", "split")
+    got = apply_gk_step(field, field.wrap(w.reshape(-1)),
+                        field.wrap(x.reshape(-1)), plan, interpret=True)
+    got = field.unwrap(got).reshape(4, 2, 256)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_rejections():
+    # shared batch label (aligned-gather form) is out of scope
+    assert _plan(("b", "c1", "f1"), ("b", "c1", "n1"),
+                 ("b", "n1", "f1"), (4, 2, 256), (4, 2, 2)) is None
+    assert gk.LAST_REJECT == "shared-batch"
+    # no trailing free run
+    assert _plan(("f1", "c1"), ("c1", "n1"),
+                 ("n1", "f1"), (256, 2), (2, 2)) is None
+    # f run too small for the 128-lane split
+    assert _plan(("g1", "c1", "f1"), ("c1", "n1"),
+                 ("g1", "n1", "f1"), (64, 2, 64), (2, 2)) is None
+    # H legs split in iy
+    assert _plan(("g1", "c1", "f1"), ("c1", "n1", "n2"),
+                 ("n1", "g1", "n2", "f1"), (4, 2, 256), (2, 2, 2)) is None
+    assert gk.LAST_REJECT == "h-contig"
+
+
+def test_gk_output_order_roundtrip():
+    ix_x = ("g1", "c1", "g2", "c2", "f1")
+    dims_x = (2, 2, 4, 2, 256)
+    ix_w = ("c1", "c2", "n1")
+    dims_w = (2, 2, 2)
+    iy = gk_output_order(ix_x, ix_w, {"g1", "g2", "n1", "f1"},
+                         dims_x, dims_w)
+    assert iy == ("g1", "g2", "n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_gk_output_order_pinned():
+    iy = gk_output_order(("b", "c1", "g1", "f1"), ("c1", "n1"),
+                         {"b", "g1", "n1", "f1"}, (5, 2, 2, 128), (2, 2),
+                         pin=1)
+    assert iy[0] == "b"
+    assert iy.index("n1") < iy.index("f1")
