@@ -75,13 +75,13 @@ def contraction_scheme(ctree, lane_schedule=True):
     the final result tensor (open legs), in the axis order the executor will
     produce.
 
-    With ``lane_schedule`` (default), each step's output leg order is chosen
-    so the *parent* step finds its contract legs lane-resident, and eligible
-    steps get a Pallas LanePlan attached (runtime/lanes.py).  Steps whose
-    lane plan is infeasible revert to the transpose-free preferred order.
+    With ``lane_schedule`` (default), output leg orders follow the
+    TIME-ORDERED layout discipline (legs sorted by the step at which they
+    are contracted; see contraction_scheme_sparse) so every step sees its
+    contract legs leading, and eligible steps get a Pallas plan attached:
+    gather-K (runtime/gatherk.py) first, then the v1 lane kernel, then the
+    both-big pair kernel.
     """
-    from .lanes import schedule_step
-
     tn = ctree.tn
     if lane_schedule and len(tn.tensor_bonds) > 300:
         # pod-scale schemes: see contraction_scheme_sparse
@@ -94,14 +94,21 @@ def contraction_scheme(ctree, lane_schedule=True):
         # degenerate single-tensor network (everything simplified away):
         # no steps; the staged tensor IS the result
         return steps, list(tn.tensor_bonds[ctree.root.leaf_id])
-    parent = {}
-    for v in internal_nodes_in_execution_order(ctree):
-        parent[id(v.left)] = v
-        parent[id(v.right)] = v
-    for v in internal_nodes_in_execution_order(ctree):
+    vertices = internal_nodes_in_execution_order(ctree)
+    # pre-pass: the step index at which each bond is contracted
+    time_of = {}
+    for t, v in enumerate(vertices):
         for child in (v.left, v.right):
             if child.is_leaf():
-                bond_order[id(child)] = tuple(tn.tensor_bonds[child.leaf_id])
+                bond_order.setdefault(
+                    id(child), tuple(tn.tensor_bonds[child.leaf_id]))
+        all_b = set()
+        for child in (v.left, v.right):
+            all_b |= (set(tn.tensor_bonds[child.leaf_id])
+                      if child.is_leaf() else set(child.boundary.keys()))
+        for b in all_b - set(v.boundary.keys()):
+            time_of.setdefault(b, t)
+    for v in vertices:
         ix_left = bond_order[id(v.left)]
         ix_right = bond_order[id(v.right)]
         if v.rep == v.left.rep:
@@ -114,26 +121,37 @@ def contraction_scheme(ctree, lane_schedule=True):
         dims_i = [dims[b] for b in ix_i]
         dims_j = [dims[b] for b in ix_j]
         lane = None
-        iy = None
         if lane_schedule:
-            p = parent.get(id(v))
-            if p is not None:
-                sib = p.right if p.left is v else p.left
-                sib_bonds = (set(tn.tensor_bonds[sib.leaf_id])
-                             if sib.is_leaf() else set(sib.boundary.keys()))
-                consumer_contract = ((yset | sib_bonds)
-                                     - set(p.boundary.keys()))
-            else:
-                consumer_contract = set()
-            iy, lane = schedule_step(ix_i, ix_j, yset, dims_i, dims_j,
-                                     consumer_contract)
-        if iy is None:
-            # output order = the dot_general's natural order: no transposes
+            from .gatherk import HK_CAP, MIN_X_ELEMS, plan_gk_step
+            from .lanes import plan_lane_step, plan_pair_step
+            from .lowering import _prod
+            from .sparse import _time_sorted_output
+
+            base = [b for b in ix_i if b in yset]
+            base += [b for b in ix_j if b in yset and b not in set(base)]
+            size_i, size_j = _prod(dims_i), _prod(dims_j)
+            iy = tuple(_time_sorted_output(
+                list(ix_i), list(ix_j), base, time_of, size_i >= size_j,
+                full_sort=(max(size_i, size_j) < MIN_X_ELEMS
+                           or min(size_i, size_j) > HK_CAP)))
+        else:
             iy = preferred_output_order(ix_i, ix_j, yset)
         assert set(iy) == yset
         bond_order[id(v)] = iy
-        steps.append(make_dense_step(i, j, ix_i, ix_j, iy,
-                                     dims_i, dims_j, lane))
+        step = make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j, lane)
+        if lane_schedule and lane is None:
+            lane = plan_gk_step(step.ix_i, step.ix_j, step.iy,
+                                step.dims_i, step.dims_j)
+            if lane is None:
+                lane = plan_lane_step(step.ix_i, step.ix_j, step.iy,
+                                      step.dims_i, step.dims_j)
+            if lane is None:
+                lane = plan_pair_step(step.ix_i, step.ix_j, step.iy,
+                                      step.dims_i, step.dims_j)
+            if lane is not None:
+                import dataclasses
+                step = dataclasses.replace(step, lane=lane)
+        steps.append(step)
         if v is ctree.root:
             output_bonds = iy
     if lane_schedule:

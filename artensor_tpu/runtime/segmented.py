@@ -46,9 +46,14 @@ def _segment_io(segments, n_bufs):
     return io, final_id
 
 
-def make_segmented_executor(steps, apply_step, field, segment_steps=64):
+def make_segmented_executor(steps, apply_step, field, segment_steps=64,
+                            vmapped=False):
     """Build (run_once, final_id): run_once(bufs dict) executes all segments,
-    mutating the buffer table, and returns the final buffer."""
+    mutating the buffer table, and returns the final buffer.
+
+    ``vmapped``: the buffers carry a leading slice-batch axis; every
+    segment program runs under jax.vmap over it.
+    """
     segments = [list(steps[i:i + segment_steps])
                 for i in range(0, len(steps), segment_steps)]
     io, final_id = _segment_io(segments, None)
@@ -64,7 +69,8 @@ def make_segmented_executor(steps, apply_step, field, segment_steps=64):
                 return tuple(local[t] for t in outputs)
             # inputs not returned can be donated (freed eagerly on device)
             donate = tuple(k for k, t in enumerate(inputs) if t not in outputs)
-            return jax.jit(fn, donate_argnums=donate)
+            return jax.jit(jax.vmap(fn) if vmapped else fn,
+                           donate_argnums=donate)
         seg_fns.append((make(), tuple(inputs), tuple(outputs)))
 
     def run_once(bufs):
@@ -81,22 +87,80 @@ def make_segmented_executor(steps, apply_step, field, segment_steps=64):
 
 
 def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
-                  field, apply_step, segment_steps=64, progress=None):
-    """Full contraction in segmented mode with a host-side slice loop."""
+                  field, apply_step, segment_steps=64, progress=None,
+                  slice_batch=1, slice_ids=None):
+    """Full contraction in segmented mode with a host-side slice loop.
+
+    ``slice_batch`` > 1 vmaps that many slices through every segment
+    program — the same MXU-utilization lever the monolithic path has
+    (measured 12.0 -> 5.8 s there); peak memory scales with the width.
+    ``slice_ids`` restricts the loop to a subset of slice ids (the
+    multi-device composition partitions ids across devices).
+    """
     from .executor import slice_select
 
-    run_once, _ = make_segmented_executor(steps, apply_step, field, segment_steps)
-    select = jax.jit(
-        lambda ts, sid: slice_select(ts, slicing_axes, sid, num_sliced, field))
-    acc = None
     total = 2 ** num_sliced if num_sliced else 1
-    for sid in range(total):
-        if num_sliced:
-            sliced = select(list(tensors), np.int32(sid))
-        else:
+    ids = list(range(total)) if slice_ids is None else list(slice_ids)
+    W = slice_batch if slice_batch > 1 and len(ids) % slice_batch == 0 else 1
+    run_once, _ = make_segmented_executor(steps, apply_step, field,
+                                          segment_steps, vmapped=W > 1)
+
+    if W == 1:
+        select = jax.jit(lambda ts, sid: slice_select(
+            ts, slicing_axes, sid, num_sliced, field))
+    else:
+        select = jax.jit(lambda ts, sids: jax.vmap(
+            lambda s: slice_select(ts, slicing_axes, s, num_sliced, field)
+        )(sids))
+    add = jax.jit(field.add)
+    acc = None
+    for kx in range(0, len(ids), W):
+        if not num_sliced:
             sliced = list(tensors)
+        elif W == 1:
+            sliced = select(list(tensors), np.int32(ids[kx]))
+        else:
+            sliced = select(list(tensors),
+                            np.asarray(ids[kx:kx + W], dtype=np.int32))
         result = run_once({i: t for i, t in enumerate(sliced)})
-        acc = result if acc is None else jax.jit(field.add)(acc, result)
+        if W > 1:
+            result = jax.jit(field.sum0)(result) if hasattr(field, "sum0") \
+                else jax.jit(lambda r: jax.tree.map(
+                    lambda p: p.sum(0), r))(result)
+        acc = result if acc is None else add(acc, result)
         if progress is not None:
-            progress(sid, total)
+            progress(kx + W, len(ids))
+    return acc
+
+
+def run_segmented_sharded(tensors, steps, slicing_axes, num_sliced,
+                          output_shape, field, apply_step, devices,
+                          segment_steps=64, slice_batch=1):
+    """Segmented execution with slice ranges partitioned across devices.
+
+    The pod-scale composition the monolithic shard_map path cannot offer
+    (its one XLA program does not compile at 400+ steps): each device runs
+    the SAME compiled segment programs over its own contiguous slice
+    range — dispatch is async, so all device queues fill concurrently —
+    and the per-device partial accumulators are summed at the end.
+    Single-process multi-device; for multi-host see parallel/distributed.
+    """
+    total = 2 ** num_sliced if num_sliced else 1
+    n_dev = len(devices)
+    partials = []
+    for d, dev in enumerate(devices):
+        ids = range(d * total // n_dev, (d + 1) * total // n_dev)
+        if not len(ids):
+            continue
+        with jax.default_device(dev):
+            placed = jax.device_put(list(tensors), dev)
+            partials.append(run_segmented(
+                placed, steps, slicing_axes, num_sliced, output_shape,
+                field, apply_step, segment_steps, slice_batch=slice_batch,
+                slice_ids=ids))
+    acc = None
+    add = jax.jit(field.add)
+    for p in partials:
+        p = jax.device_put(p, devices[0])
+        acc = p if acc is None else add(acc, p)
     return acc

@@ -222,6 +222,16 @@ class TensorNetworkSimulation:
                     apply_step, self.steps, self.slicing_axes, k, out_shape,
                     field))
                 result, factor = run(arrays)
+            elif mesh is not None and len(self.steps) > SEGMENT_AUTO_THRESHOLD:
+                # pod-scale scheme + mesh: the monolithic shard_map program
+                # does not compile at 400+ steps (round-2 verdict item) —
+                # partition slice ranges across the mesh's devices and run
+                # the compiled segment programs on each
+                from .runtime.segmented import run_segmented_sharded
+                result = run_segmented_sharded(
+                    arrays, self.steps, self.slicing_axes, k, out_shape,
+                    field, apply_step, list(mesh.devices.flat),
+                    slice_batch=slice_batch if slice_batch > 1 else 1)
             elif mesh is not None:
                 from .parallel import run_sliced_contraction
                 result = run_sliced_contraction(

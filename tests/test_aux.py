@@ -389,3 +389,29 @@ def test_auto_segmented_matches_monolithic(monkeypatch):
     monkeypatch.setattr(sim_mod, "SEGMENT_AUTO_THRESHOLD", 2)
     seg = sim.contraction()
     np.testing.assert_allclose(seg, mono, rtol=1e-5, atol=1e-7)
+
+
+def test_segmented_slice_batch_and_sharded(sparse_scheme):
+    """vmap slice batching inside run_segmented and the device-partitioned
+    composition both reproduce the monolithic result exactly."""
+    from artensor_tpu.runtime.segmented import (
+        apply_sparse_step,
+        run_segmented,
+        run_segmented_sharded,
+    )
+    from artensor_tpu.runtime.sparse import execute_sparse
+
+    ntn, steps, axes, k, bits_sorted, want = sparse_scheme
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    mono = field.unwrap(jax.jit(make_sliced_runner(
+        execute_sparse, steps, axes, k, (len(bits_sorted),), field))(staged))
+    batched = run_segmented(staged, steps, axes, k, (len(bits_sorted),),
+                            field, apply_sparse_step, segment_steps=9,
+                            slice_batch=4)
+    assert np.abs(mono - field.unwrap(batched)).max() < 1e-12
+    devs = jax.devices()[:5]
+    sharded = run_segmented_sharded(
+        staged, steps, axes, k, (len(bits_sorted),), field,
+        apply_sparse_step, devs, segment_steps=9, slice_batch=2)
+    assert np.abs(mono - field.unwrap(sharded)).max() < 1e-12
