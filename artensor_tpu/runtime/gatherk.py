@@ -50,7 +50,12 @@ GRID_CAP = 1 << 15       # max grid programs
 VIEW_RANK_CAP = 10       # mosaic-safe view rank (rank-10 blocks with 7
                          # leading full/squeezed axes compile and run on
                          # the chip — scripts/gk_probe.py round-3 probe)
-BLOCK_F = 1 << 13        # target f elements per block
+BLOCK_F = 1 << 15        # target f elements per block (VMEM budget binds)
+PROGRAM_OVERHEAD_S = 0.9e-6   # measured per-grid-program cost (the
+                              # 0.457s vmap'd kernel at 2^19 programs);
+                              # under a slice-vmap the grid multiplies by
+                              # the batch width, so small-block plans are
+                              # overhead-bound and must price it in
 # measured-rate envelope (see scripts/gk_probe2.py, tuned on the v5e chip:
 # the broadcast-FMA loop sustains ~0.9-1.0 TFLOP/s-true)
 VPU_FLOPS_PER_S = 1.0e12
@@ -93,6 +98,7 @@ class GKPlan:
     dims_y: tuple        # logical output dims (iy order)
     flops: int           # true real flops (4-product counting)
     est_s: float
+    qb: int = 1          # slice instances packed per MXU dot under vmap
 
 
 def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
@@ -316,11 +322,20 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     traffic_s = 4 * 2 * (x_elems + y_elems + K * H) / HBM_BYTES_PER_S
     vpu_s = flops / VPU_FLOPS_PER_S
     pad = lambda n: -(-n // 128) * 128
+    # qb: under a slice-vmap, qb independent slice instances pack
+    # block-diagonally into one (qb*2H, qb*2K) dot — full MXU width at
+    # any K (see the custom_vmap batching rule in apply_gk_step)
+    qb = 1
+    while 2 * qb * 2 * K <= 128 and 2 * qb * 2 * H <= 512:
+        qb *= 2
     mxu_s = (2 * (x_elems // max(K, 1) // 128)
-             * pad(2 * K) * pad(2 * H) * 128 / MXU_FLOPS_PER_S)
+             * pad(qb * 2 * K) * pad(qb * 2 * H) * 128
+             / (qb * MXU_FLOPS_PER_S))
     vpu_ok = 4 * K * H <= UNROLL_CAP
     use_mxu = (not vpu_ok) or mxu_s < vpu_s
     compute_s = mxu_s if use_mxu else vpu_s
+    compute_s += n_grid * (F // block) * PROGRAM_OVERHEAD_S / max(
+        qb if use_mxu else 1, 1)
     est_s = max(traffic_s, compute_s)
     est_xla = xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j)
     if est_s > est_xla * SLACK:
@@ -328,7 +343,8 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     dims_y = tuple(dim_of[l] for l in iy)
     return GKPlan(w_is_j, tuple(view_x), tuple(x_axes), tuple(view_y),
                   tuple(y_axes), block, K, H, tuple(c_dims),
-                  idx.astype(np.int32), use_mxu, dims_y, flops, est_s)
+                  idx.astype(np.int32), use_mxu, dims_y, flops, est_s,
+                  qb)
 
 
 F_PROTECT = 1 << 10      # min tail-run elements kept minor before a
@@ -454,25 +470,13 @@ def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
         oi_ref[store_idx(h, slice(None))] = im
 
 
-def apply_gk_step(field, x, y, plan, interpret=None):
-    """Execute one gather-K step on SplitField pairs (traceable)."""
-    import jax
-    import jax.numpy as jnp
+def _gk_specs(plan, batch=0, qb=1):
+    """(grid, xspec, yspec) for the (optionally batched) kernel.  ``batch``
+    is the vmap width (0 = unbatched); ``qb`` instances share one program."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .lowering import physical_shape
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    xv, wv = (x, y) if plan.w_is_j else (y, x)
-    wr = _build_wk(wv[0], plan)
-    wi = _build_wk(wv[1], plan)
-    xr = xv[0].reshape(plan.view_x)
-    xi = xv[1].reshape(plan.view_x)
-
     bf = plan.block // 128
-    g_count = sum(1 for kind, _x in plan.x_axes if kind == "g")
     F128 = next(plan.view_x[k] for k, a in enumerate(plan.x_axes)
                 if a == ("f", 0))
     grid = tuple(plan.view_x[k] for k, a in enumerate(plan.x_axes)
@@ -483,6 +487,7 @@ def apply_gk_step(field, x, y, plan, interpret=None):
         if kind == "g":
             g_pos[gid] = gi
             gi += 1
+    nb = 1 if batch else 0   # leading batch axes in specs/grids
 
     xblock = []
     for k, (kind, gid) in enumerate(plan.x_axes):
@@ -501,15 +506,15 @@ def apply_gk_step(field, x, y, plan, interpret=None):
             if kind == "c":
                 out.append(0)
             elif kind == "g":
-                out.append(gids[g_pos[gid]])
+                out.append(gids[nb + g_pos[gid]])
             elif gid == 0:   # ('f', 0)
                 out.append(gids[-1])
             else:            # ('f', 1)
                 out.append(0)
-        return tuple(out)
+        return (gids[:nb]) + tuple(out) if nb else tuple(out)
 
     yblock = []
-    for k, a in enumerate(plan.y_axes):
+    for a in plan.y_axes:
         if a[0] == "g":
             yblock.append(None)
         elif a[0] == "H":
@@ -523,23 +528,41 @@ def apply_gk_step(field, x, y, plan, interpret=None):
         out = []
         for a in plan.y_axes:
             if a[0] == "g":
-                out.append(gids[g_pos[a[1]]])
+                out.append(gids[nb + g_pos[a[1]]])
             elif a[0] == "H":
                 out.append(0)
             elif a == ("f", 0):
                 out.append(gids[-1])
             else:
                 out.append(0)
-        return tuple(out)
+        return (gids[:nb]) + tuple(out) if nb else tuple(out)
 
-    wspec = pl.BlockSpec((plan.H, plan.K), lambda *g: (0, 0),
-                         memory_space=pltpu.VMEM)
+    if batch:
+        grid = (batch // qb,) + grid
+        xblock = [qb] + xblock
+        yblock = [qb] + yblock
     xspec = pl.BlockSpec(tuple(xblock), x_index, memory_space=pltpu.VMEM)
     yspec = pl.BlockSpec(tuple(yblock), y_index, memory_space=pltpu.VMEM)
+    return grid, xspec, yspec
+
+
+def _gk_unbatched(plan, interpret, xr_flat, xi_flat, wr_flat, wi_flat):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    wr = _build_wk(wr_flat, plan)
+    wi = _build_wk(wi_flat, plan)
+    xr = xr_flat.reshape(plan.view_x)
+    xi = xi_flat.reshape(plan.view_x)
+    grid, xspec, yspec = _gk_specs(plan)
+    wspec = pl.BlockSpec((plan.H, plan.K), lambda *g: (0, 0),
+                         memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct(plan.view_y, jnp.float32)
     traffic = 4 * 2 * (_prod(plan.view_x) + _prod(plan.view_y)
                        + plan.K * plan.H)
-    yr, yi = pl.pallas_call(
+    return pl.pallas_call(
         partial(_gk_kernel, plan=plan),
         grid=grid,
         in_specs=[xspec, xspec, wspec, wspec],
@@ -551,4 +574,156 @@ def apply_gk_step(field, x, y, plan, interpret=None):
             flops=plan.flops, bytes_accessed=traffic, transcendentals=0),
         interpret=interpret,
     )(xr, xi, wr, wi)
+
+
+def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
+    """Batched kernel: qb slice instances block-diagonally packed into one
+    (qb*2H, qb*2K) @ (qb*2K, 128) dot per lane column — full MXU width at
+    any K.  The instance axis collapses into the contract rows for FREE
+    (leading-dim reshape; the tiled (bf, 128) minor dims are untouched)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    K, H = plan.K, plan.H
+    bf = plan.block // 128
+    xr = xr_ref[...].reshape(qb, K, bf, 128)
+    xi = xi_ref[...].reshape(qb, K, bf, 128)
+    xc = jnp.concatenate([xr, xi], axis=1).reshape(qb * 2 * K, bf, 128)
+    w = bd_ref[...]
+    if w.ndim == 3:
+        w = w[0]
+    dotf = partial(lax.dot_general,
+                   dimension_numbers=(((1,), (0,)), ((), ())),
+                   precision=lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    has_h = any(a[0] == "H" for a in plan.y_axes)
+
+    def store_idx(fi):
+        idx = [slice(None)]          # qb axis
+        for a in plan.y_axes:
+            if a[0] == "H":
+                idx.append(slice(None))
+            elif a == ("f", 0):
+                idx.append(fi)
+            elif a == ("f", 1):
+                idx.append(slice(None))
+        return tuple(idx)
+
+    for fi in range(bf):
+        o = dotf(w, xc[:, fi])                     # (qb*2H, 128)
+        o3 = o.reshape(qb, 2, H, 128)
+        re, im = o3[:, 0], o3[:, 1]                # (qb, H, 128)
+        if not has_h:
+            re, im = re[:, 0], im[:, 0]            # (qb, 128)
+        or_ref[store_idx(fi)] = re
+        oi_ref[store_idx(fi)] = im
+
+
+def _gk_batched(plan, interpret, W, qb, xr_b, xi_b, w4_b):
+    """Batched pallas call; ``w4_b`` is (W//qb, qb*2H, qb*2K) or the single
+    shared (qb*2H, qb*2K) block-diagonal matrix."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import jax.numpy as jnp
+
+    xr = xr_b.reshape((W,) + plan.view_x)
+    xi = xi_b.reshape((W,) + plan.view_x)
+    grid, xspec, yspec = _gk_specs(plan, batch=W, qb=qb)
+    if w4_b.ndim == 3:
+        wspec = pl.BlockSpec((1,) + w4_b.shape[1:],
+                             lambda *g: (g[0],) + (0,) * 2,
+                             memory_space=pltpu.VMEM)
+    else:
+        wspec = pl.BlockSpec(w4_b.shape, lambda *g: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((W,) + plan.view_y, jnp.float32)
+    traffic = 4 * 2 * W * (_prod(plan.view_x) + _prod(plan.view_y))
+    return pl.pallas_call(
+        partial(_gk_kernel_bd, plan=plan, qb=qb),
+        grid=grid,
+        in_specs=[xspec, xspec, wspec],
+        out_specs=(yspec, yspec),
+        out_shape=(out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.flops * W, bytes_accessed=traffic, transcendentals=0),
+        interpret=interpret,
+    )(xr, xi, w4_b)
+
+
+def _w4_of(wr, wi):
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [jnp.concatenate([wr, -wi], axis=-1),
+         jnp.concatenate([wi, wr], axis=-1)], axis=-2)
+
+
+def apply_gk_step(field, x, y, plan, interpret=None):
+    """Execute one gather-K step on SplitField pairs (traceable).
+
+    Under jax.vmap (the executor's slice batching) a custom batching rule
+    packs ``plan.qb`` slice instances block-diagonally into each MXU dot
+    (see _gk_kernel_bd) instead of letting vmap multiply the grid — the
+    naive vmap path measured overhead-bound (~0.9us per grid program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .lowering import physical_shape
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xv, wv = (x, y) if plan.w_is_j else (y, x)
+
+    @jax.custom_batching.custom_vmap
+    def gk(xr_flat, xi_flat, wr_flat, wi_flat):
+        return _gk_unbatched(plan, interpret, xr_flat, xi_flat,
+                             wr_flat, wi_flat)
+
+    @gk.def_vmap
+    def gk_vmap(axis_size, in_batched, xr_flat, xi_flat, wr_flat, wi_flat):
+        W = axis_size
+        qb = min(plan.qb, W & (-W))
+        xb = in_batched[0]
+        wb = in_batched[2]
+        if plan.use_mxu and qb > 1:
+            if not xb:
+                xr = jnp.broadcast_to(xr_flat[None], (W,) + xr_flat.shape)
+                xi = jnp.broadcast_to(xi_flat[None], (W,) + xi_flat.shape)
+            else:
+                xr, xi = xr_flat, xi_flat
+            H2, K2 = 2 * plan.H, 2 * plan.K
+            if wb:
+                idx = jnp.asarray(plan.wk_idx)
+                w4 = _w4_of(
+                    jnp.take(wr_flat.reshape(W, -1), idx, axis=1),
+                    jnp.take(wi_flat.reshape(W, -1), idx, axis=1))
+                g = w4.reshape(W // qb, qb, H2, K2)
+                bd = jnp.zeros((W // qb, qb * H2, qb * K2), jnp.float32)
+                for q in range(qb):
+                    bd = bd.at[:, q * H2:(q + 1) * H2,
+                               q * K2:(q + 1) * K2].set(g[:, q])
+            else:
+                w4 = _w4_of(_build_wk(wr_flat, plan),
+                            _build_wk(wi_flat, plan))
+                bd = jnp.zeros((qb * H2, qb * K2), jnp.float32)
+                for q in range(qb):
+                    bd = bd.at[q * H2:(q + 1) * H2,
+                               q * K2:(q + 1) * K2].set(w4)
+            yr, yi = _gk_batched(plan, interpret, W, qb,
+                                 xr.reshape(W, -1), xi.reshape(W, -1), bd)
+            return (yr, yi), (True, True)
+        # fallback: plain vmap (grid multiplies by W)
+        out = jax.vmap(
+            partial(_gk_unbatched, plan, interpret),
+            in_axes=tuple(0 if b else None for b in in_batched),
+            axis_size=W,
+        )(xr_flat, xi_flat, wr_flat, wi_flat)
+        return out, (True, True)
+
+    yr, yi = gk(xv[0].reshape(-1), xv[1].reshape(-1),
+                wv[0].reshape(-1), wv[1].reshape(-1))
     return field.reshape((yr, yi), physical_shape(plan.dims_y))

@@ -365,17 +365,20 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                 # cross merges — the two batch axes are ordinary grid/H
                 # legs to it), then the v1 lane kernel, then the both-big
                 # pair kernel (its (rows_i, rows_j) form was chosen above)
-                from . import gatherk
+                from . import gatherk, lanes
                 from .gatherk import plan_gk_step
                 from .lanes import plan_lane_step, plan_pair_step
 
                 gatherk.LAST_REJECT = None
                 lane = plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j)
-                note = gatherk.LAST_REJECT
+                note = f"gk:{gatherk.LAST_REJECT}"
                 if lane is None:
+                    lanes.LAST_REJECT = None
                     lane = plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j)
+                    note += f"/v1:{lanes.LAST_REJECT}"
                 if lane is None:
                     lane = plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j)
+                    note += f"/pair:{lanes.LAST_REJECT}"
         steps.append(SparseStep(i, j, ix_i, ix_j, iy,
                                 gathers, reshape, post_select,
                                 lowered, lowered_chunks, lane, note))

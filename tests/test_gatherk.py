@@ -169,3 +169,58 @@ def test_gk_output_order_pinned():
                          pin=1)
     assert iy[0] == "b"
     assert iy.index("n1") < iy.index("f1")
+
+
+def test_batched_block_diagonal_rule():
+    """jax.vmap over apply_gk_step takes the custom batching rule: qb
+    slice instances packed block-diagonally into one MXU dot.  Checked
+    against the vmapped einsum oracle for batched-X/unbatched-W and
+    batched-both, at widths that exercise qb > 1."""
+    import jax
+
+    ix_x = ("c1", "c2", "c3", "c4", "g1", "f1")
+    dims_x = (2, 2, 2, 2, 2, 512)     # K = 16 -> qb = 4
+    ix_w = ("c1", "c2", "c3", "c4", "n1", "n2")
+    dims_w = (2, 2, 2, 2, 4, 4)
+    iy = ("g1", "n1", "n2", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None and plan.use_mxu and plan.qb >= 4
+
+    W = 8
+    rng = np.random.default_rng(7)
+    xs = (rng.standard_normal((W,) + dims_x)
+          + 1j * rng.standard_normal((W,) + dims_x)).astype(np.complex64)
+    w1 = (rng.standard_normal(dims_w)
+          + 1j * rng.standard_normal(dims_w)).astype(np.complex64)
+    ws = (rng.standard_normal((W,) + dims_w)
+          + 1j * rng.standard_normal((W,) + dims_w)).astype(np.complex64)
+    field = make_field(np.complex64, "highest", "split")
+
+    lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+    ex = [lab[l] for l in ix_x]
+    ew = [lab[l] for l in ix_w]
+    ey = [lab[l] for l in iy]
+
+    def one(xf, wf):
+        return apply_gk_step(field, xf, wf, plan, interpret=True)
+
+    # batched X, shared W
+    xb = (jnp_stack(xs.real), jnp_stack(xs.imag))
+    wu = field.wrap(w1.reshape(-1))
+    got = jax.vmap(one, in_axes=((0, 0), None))(xb, wu)
+    want = np.stack([np.einsum(xs[b], ex, w1, ew, ey) for b in range(W)])
+    out = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(want.shape)
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=1e-5)
+
+    # batched X AND batched W
+    wb = (jnp_stack(ws.real), jnp_stack(ws.imag))
+    got2 = jax.vmap(one, in_axes=((0, 0), (0, 0)))(xb, wb)
+    want2 = np.stack([np.einsum(xs[b], ex, ws[b], ew, ey) for b in range(W)])
+    out2 = (np.asarray(got2[0]) + 1j * np.asarray(got2[1])).reshape(want2.shape)
+    np.testing.assert_allclose(out2, want2, rtol=2e-4, atol=1e-5)
+
+
+def jnp_stack(a):
+    import jax.numpy as jnp
+    W = a.shape[0]
+    return jnp.asarray(a.reshape(W, -1).astype(np.float32))

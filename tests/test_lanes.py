@@ -36,7 +36,11 @@ def _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan, seed=0):
     field = make_field(np.complex64, "highest", "split")
     xs = field.wrap(x.reshape(-1))
     ws = field.wrap(w.reshape(-1))
-    got = apply_lane_step(field, xs, ws, plan, interpret=True)
+    if type(plan).__name__ == "GKPlan":
+        from artensor_tpu.runtime.gatherk import apply_gk_step
+        got = apply_gk_step(field, xs, ws, plan, interpret=True)
+    else:
+        got = apply_lane_step(field, xs, ws, plan, interpret=True)
     got = field.unwrap(got).reshape([dict(zip(ix_x, dims_x),
                                           **dict(zip(ix_w, dims_w)))[l]
                                      for l in iy])
