@@ -99,6 +99,7 @@ class GKPlan:
     flops: int           # true real flops (4-product counting)
     est_s: float
     qb: int = 1          # slice instances packed per MXU dot under vmap
+    fm: int = 128        # minor lane width of the f split (128, 64 or 32)
 
 
 def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
@@ -171,20 +172,30 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
         k = iy.index(run[0])
         return tuple(iy[k:k + len(run)]) == tuple(run)
 
-    # shrink until the run (a) splits as (F/128, 128) and (b) appears as a
-    # contiguous same-order run in iy (dropped legs become grid legs)
-    while f_legs and (F % 128 or not _contig_in_iy(f_legs)):
+    # shrink until the run (a) splits as (F/fm, fm) for a lane width
+    # fm in {128, 64, 32} and (b) appears as a contiguous same-order run
+    # in iy (dropped legs become grid legs).  fm < 128 wastes VMEM lanes
+    # and compute proportionally (priced into the est below) but rescues
+    # steps whose minor free run is short — the dominant residual class.
+    def _fm_of(F):
+        for fm in (128, 64, 32):
+            if F % fm == 0:
+                return fm
+        return 0
+
+    while f_legs and (not _fm_of(F) or not _contig_in_iy(f_legs)):
         F //= dim_of[f_legs[0]]
         f_legs = f_legs[1:]
-    if not f_legs or F % 128:
+    fm = _fm_of(F) if f_legs else 0
+    if not fm:
         return _rej("no-f-run")
     f_set = set(f_legs)
     # block bounded by the VMEM budget for (x re/im + y re/im) blocks
     vmem_budget = (12 << 20) // (4 * 2 * (K + H))
-    block = min(F, BLOCK_F, max(128, vmem_budget // 128 * 128))
+    block = min(F, BLOCK_F, max(8 * fm, vmem_budget // fm * fm))
     while F % block:
-        block -= 128
-    if block < 128:
+        block -= fm
+    if block < fm:
         return _rej("block-small")
 
     # ---- X view: merge adjacent same-class runs --------------------------
@@ -224,9 +235,9 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
             g_runs.append(tuple(legs))
         else:
             x_axes.append(("f", 0))
-            view_x.append(F // 128)
+            view_x.append(F // fm)
             x_axes.append(("f", 1))
-            view_x.append(128)
+            view_x.append(fm)
     if len(view_x) > VIEW_RANK_CAP:
         return _rej("rank")
     if any(kind == "g" for kind, _ in x_axes[-2:]):
@@ -255,9 +266,9 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
             if tuple(iy[k:k + len(f_legs)]) != tuple(f_legs):
                 return _rej("f-contig")
             y_axes.append(("f", 0))
-            view_y.append(F // 128)
+            view_y.append(F // fm)
             y_axes.append(("f", 1))
-            view_y.append(128)
+            view_y.append(fm)
             k += len(f_legs)
         else:
             if l not in run_of:
@@ -328,9 +339,10 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     qb = 1
     while 2 * qb * 2 * K <= 128 and 2 * qb * 2 * H <= 512:
         qb *= 2
-    mxu_s = (2 * (x_elems // max(K, 1) // 128)
+    mxu_s = (2 * (x_elems // max(K, 1) // fm)
              * pad(qb * 2 * K) * pad(qb * 2 * H) * 128
              / (qb * MXU_FLOPS_PER_S))
+    vpu_s *= 128 // fm          # sub-128 lanes waste VPU width too
     vpu_ok = 4 * K * H <= UNROLL_CAP
     use_mxu = (not vpu_ok) or mxu_s < vpu_s
     compute_s = mxu_s if use_mxu else vpu_s
@@ -344,7 +356,7 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     return GKPlan(w_is_j, tuple(view_x), tuple(x_axes), tuple(view_y),
                   tuple(y_axes), block, K, H, tuple(c_dims),
                   idx.astype(np.int32), use_mxu, dims_y, flops, est_s,
-                  qb)
+                  qb, fm)
 
 
 F_PROTECT = 1 << 10      # min tail-run elements kept minor before a
@@ -414,12 +426,13 @@ def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
     from jax import lax
 
     K, H = plan.K, plan.H
-    bf = plan.block // 128
+    fm = plan.fm
+    bf = plan.block // fm
     # collapsing the leading c axes is layout-preserving (the tiled last
-    # two dims (bf, 128) are untouched), so scattered contract legs cost
+    # two dims (bf, fm) are untouched), so scattered contract legs cost
     # nothing here
-    xrv = xr_ref[...].reshape(K, bf, 128)
-    xiv = xi_ref[...].reshape(K, bf, 128)
+    xrv = xr_ref[...].reshape(K, bf, fm)
+    xiv = xi_ref[...].reshape(K, bf, fm)
 
     def store_idx(h_sel, fi):
         idx = []
@@ -444,10 +457,10 @@ def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
         w4 = jnp.concatenate(
             [jnp.concatenate([wr_ref[...], -wi_ref[...]], axis=1),
              jnp.concatenate([wi_ref[...], wr_ref[...]], axis=1)], axis=0)
-        xc = jnp.concatenate([xrv, xiv], axis=0)    # (2K, bf, 128)
+        xc = jnp.concatenate([xrv, xiv], axis=0)    # (2K, bf, fm)
         has_h = any(a[0] == "H" for a in plan.y_axes)
         for fi in range(bf):
-            o = dotf(w4, xc[:, fi])                 # (2H, 128)
+            o = dotf(w4, xc[:, fi])                 # (2H, fm)
             re, im = o[:H], o[H:]
             if not has_h:                           # H == 1: no H out axis
                 re, im = re[0], im[0]
@@ -476,11 +489,11 @@ def _gk_specs(plan, batch=0, qb=1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bf = plan.block // 128
-    F128 = next(plan.view_x[k] for k, a in enumerate(plan.x_axes)
-                if a == ("f", 0))
+    bf = plan.block // plan.fm
+    F_units = next(plan.view_x[k] for k, a in enumerate(plan.x_axes)
+                   if a == ("f", 0))
     grid = tuple(plan.view_x[k] for k, a in enumerate(plan.x_axes)
-                 if a[0] == "g") + (F128 // bf,)
+                 if a[0] == "g") + (F_units // bf,)
     g_pos = {}
     gi = 0
     for kind, gid in plan.x_axes:
@@ -498,7 +511,7 @@ def _gk_specs(plan, batch=0, qb=1):
         elif (kind, gid) == ("f", 0):
             xblock.append(bf)
         else:
-            xblock.append(128)
+            xblock.append(plan.fm)
 
     def x_index(*gids):
         out = []
@@ -522,7 +535,7 @@ def _gk_specs(plan, batch=0, qb=1):
         elif a == ("f", 0):
             yblock.append(bf)
         else:
-            yblock.append(128)
+            yblock.append(plan.fm)
 
     def y_index(*gids):
         out = []
@@ -585,10 +598,11 @@ def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
     from jax import lax
 
     K, H = plan.K, plan.H
-    bf = plan.block // 128
-    xr = xr_ref[...].reshape(qb, K, bf, 128)
-    xi = xi_ref[...].reshape(qb, K, bf, 128)
-    xc = jnp.concatenate([xr, xi], axis=1).reshape(qb * 2 * K, bf, 128)
+    fm = plan.fm
+    bf = plan.block // fm
+    xr = xr_ref[...].reshape(qb, K, bf, fm)
+    xi = xi_ref[...].reshape(qb, K, bf, fm)
+    xc = jnp.concatenate([xr, xi], axis=1).reshape(qb * 2 * K, bf, fm)
     w = bd_ref[...]
     if w.ndim == 3:
         w = w[0]
@@ -610,11 +624,11 @@ def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
         return tuple(idx)
 
     for fi in range(bf):
-        o = dotf(w, xc[:, fi])                     # (qb*2H, 128)
-        o3 = o.reshape(qb, 2, H, 128)
-        re, im = o3[:, 0], o3[:, 1]                # (qb, H, 128)
+        o = dotf(w, xc[:, fi])                     # (qb*2H, fm)
+        o3 = o.reshape(qb, 2, H, fm)
+        re, im = o3[:, 0], o3[:, 1]                # (qb, H, fm)
         if not has_h:
-            re, im = re[:, 0], im[:, 0]            # (qb, 128)
+            re, im = re[:, 0], im[:, 0]            # (qb, fm)
         or_ref[store_idx(fi)] = re
         oi_ref[store_idx(fi)] = im
 

@@ -33,6 +33,10 @@ import numpy as np
 
 from .lowering import lower_step
 
+# survivors re-sorted at every step (vs preserved big-side order): see
+# _time_sorted_output; flip measured via scripts/step_census.py
+SORT_SURVIVORS = False
+
 
 @dataclass(frozen=True)
 class SparseStep:
@@ -146,6 +150,11 @@ def _time_sorted_output(bond_i, bond_j, new_bonds, time_of, big_is_i,
     fset = set(fresh)
     others = [b for b in xb if b in nset and b not in fset]
     others += [b for b in new_bonds if b not in fset and b not in set(others)]
+    if SORT_SURVIVORS:
+        # keep the global time-sorted invariant exactly: survivor
+        # deviations become singleton grid runs for the NEXT gather-K
+        # step (free remaps), and every tail stays maximal
+        others.sort(key=tkey)
     if not fresh:
         return others
     if fresh_first:

@@ -141,9 +141,9 @@ def test_rejections():
     # no trailing free run
     assert _plan(("f1", "c1"), ("c1", "n1"),
                  ("n1", "f1"), (256, 2), (2, 2)) is None
-    # f run too small for the 128-lane split
+    # f run far too small for any lane split (< 32)
     assert _plan(("g1", "c1", "f1"), ("c1", "n1"),
-                 ("g1", "n1", "f1"), (64, 2, 64), (2, 2)) is None
+                 ("g1", "n1", "f1"), (64, 2, 16), (2, 2)) is None
     # H legs split in iy
     assert _plan(("g1", "c1", "f1"), ("c1", "n1", "n2"),
                  ("n1", "g1", "n2", "f1"), (4, 2, 256), (2, 2, 2)) is None
@@ -224,3 +224,15 @@ def jnp_stack(a):
     import jax.numpy as jnp
     W = a.shape[0]
     return jnp.asarray(a.reshape(W, -1).astype(np.float32))
+
+
+def test_short_tail_fm64():
+    # a 64-element trailing run plans at lane width fm=64 (half-lane)
+    ix_x = ("g1", "c1", "f1")
+    dims_x = (64, 2, 64)
+    ix_w = ("c1", "n1")
+    dims_w = (2, 2)
+    iy = ("g1", "n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None and plan.fm == 64
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
