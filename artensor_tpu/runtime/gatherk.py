@@ -103,9 +103,10 @@ class GKPlan:
 
 
 def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
-    """Modeled wall time of the XLA fallback for one step (K-discounted MXU
-    vs HBM traffic; reorder pass not included — this is the OPTIMISTIC
-    bound, so beating it is meaningful)."""
+    """Modeled wall time of the XLA fallback for one step: K-discounted MXU
+    vs HBM traffic, INCLUDING the output-reorder pass the fallback pays
+    whenever iy deviates from the dot's natural (batch, lhs-free,
+    rhs-free) order — which under time-ordered layouts is nearly always."""
     set_i, set_j, set_y = set(ix_i), set(ix_j), set(iy)
     dim_of = dict(zip(ix_i, dims_i))
     dim_of.update(zip(ix_j, dims_j))
@@ -114,6 +115,10 @@ def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
     x_elems, w_elems = _prod(dims_i), _prod(dims_j)
     flops = 4 * 2 * y_elems * K
     traffic = 4 * 2 * (x_elems + w_elems + y_elems)
+    from .lowering import preferred_output_order
+    if tuple(iy) != preferred_output_order(ix_i, ix_j, set_y,
+                                           dims_i, dims_j):
+        traffic += 4 * 2 * 2 * y_elems      # read + write reorder pass
     rate = MXU_FLOPS_PER_S * min(1.0, K / 128.0)
     return max(flops / rate, traffic / HBM_BYTES_PER_S)
 

@@ -159,10 +159,13 @@ def _time_sorted_output(bond_i, bond_j, new_bonds, time_of, big_is_i,
         return others
     if fresh_first:
         # both-batched (cross) steps: the kernel's H run is (BJ, fresh),
-        # so fresh must directly follow the batch axes.  Placing late legs
-        # early is harmless for downstream f runs (only EARLY legs placed
-        # late break them).
-        return fresh + others
+        # so fresh must directly follow the batch axes.  Survivors are
+        # FULLY sorted here: a cross chain prepending fresh blocks would
+        # otherwise push the next consumer's contract legs deeper each
+        # step (measured as the dominant residual no-f-run class), and
+        # cross steps never kernel-plan themselves, so breaking their own
+        # X-suffix match costs nothing.
+        return fresh + sorted(others, key=tkey)
     fkey = min(tkey(b) for b in fresh)
     k = 0
     while k < len(others) and tkey(others[k]) < fkey:
