@@ -15,6 +15,8 @@ import tempfile
 
 import numpy as np
 
+from ..planner import cost as _COST
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "sa_kernel.cpp")
 _LIB = None
@@ -86,6 +88,10 @@ def load_kernel():
         np.ctypeslib.ndpointer(np.int32),    # out_order
         np.ctypeslib.ndpointer(np.int32),    # out_sliced
         np.ctypeslib.ndpointer(np.float64),  # out_stats
+        ctypes.c_int,                     # objective (0 score, 1 roofline)
+        ctypes.c_double,                  # roofline muladds/s
+        ctypes.c_double,                  # roofline bytes/s
+        ctypes.c_double,                  # roofline per-step overhead s
     ]
     _LIB = lib
     return _LIB
@@ -96,7 +102,8 @@ def native_available():
 
 
 def sa_find_order_native(tn, init_orders, sc_target, iters, betas,
-                         slicing_repeat, seed, alpha=32.0, n_threads=None):
+                         slicing_repeat, seed, alpha=32.0, n_threads=None,
+                         objective="score"):
     """Run the native SA over an AbstractTensorNetwork.
 
     ``init_orders``: list (per trial) of pairwise orders over tensor ids.
@@ -145,6 +152,10 @@ def sa_find_order_native(tn, init_orders, sc_target, iters, betas,
         out_order,
         out_sliced,
         out_stats,
+        1 if objective == "roofline" else 0,
+        float(_COST.TPU_COMPLEX_MULADD_PER_S),
+        float(_COST.TPU_HBM_BYTES_PER_S),
+        float(_COST.STEP_OVERHEAD_S),
     )
     assert n_sliced >= 0, "native SA failed"
     order = [(int(out_order[2 * p]), int(out_order[2 * p + 1]))

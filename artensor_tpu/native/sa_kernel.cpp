@@ -64,6 +64,27 @@ double log2sumexp2(const double* v, int n) {
 
 const double LOG10_2 = std::log10(2.0);
 
+// chip-true roofline objective (objective = 1): per-step cost is
+// max(compute at K-discounted MXU rate, HBM traffic) + fixed overhead,
+// summed over internal nodes and multiplied by 2^(#sliced bonds).
+// Parameters mirror planner/cost.py's measured envelope and are passed
+// through the C ABI so the two stay in sync.
+struct RoofParams {
+    double muladds_per_s = 28.6e12 / 8.0;
+    double bytes_per_s = 450e9;
+    double step_ov = 3e-6;
+};
+
+double node_roof(const Node& v, const Node& L, const Node& R,
+                 const RoofParams& rp) {
+    double k = std::exp2(std::max(0.0, v.tc - v.sc));
+    double rate = rp.muladds_per_s * std::min(1.0, k / 128.0);
+    double compute = std::exp2(v.tc) / rate;
+    double traffic = 8.0 * (std::exp2(L.sc) + std::exp2(R.sc)
+                            + std::exp2(v.sc)) / rp.bytes_per_s;
+    return std::max(compute, traffic) + rp.step_ov;
+}
+
 double score_fn(double tc, double sc, double mc, double sc_target, double alpha) {
     double body;
     if (alpha > 0.0) {
@@ -218,6 +239,18 @@ struct Tree {
         mc = log2sumexp2(mcs.data(), (int)mcs.size()) * LOG10_2;
     }
 
+    double roofline(const RoofParams& rp) const {
+        double total = 0.0;
+        std::vector<int> order;
+        preorder(order);
+        for (int v : order) {
+            const Node& nd = nodes[v];
+            if (nd.leaf()) continue;
+            total += node_roof(nd, nodes[nd.left], nodes[nd.right], rp);
+        }
+        return total;
+    }
+
     // ---- local 3-leaf rewrites ----------------------------------------
     // frontier under v (size 3 when possible): [f0, f1, f2], internal child m
     bool local_frontier(int v, int f[3], int& branch) const {
@@ -251,7 +284,9 @@ struct Tree {
     // evaluate what-if complexity of re-contracting frontier in a given
     // canonical order (0,1,2 as in current_order3) using scratch nodes
     void whatif_order3(const int f[3], int which, double& tc, double& sc,
-                       double& mc, Node& s1, Node& s2) {
+                       double& mc, Node& s1, Node& s2,
+                       const RoofParams* rp = nullptr,
+                       double* local_roof = nullptr) {
         static const int pairs[3][4] = {
             {0, 2, 0, 1}, {0, 1, 0, 2}, {1, 2, 0, 1}};
         int tmp_first[3] = {f[0], f[1], f[2]};
@@ -261,6 +296,13 @@ struct Tree {
         const Node* slot[3] = {&nodes[f[0]], &nodes[f[1]], &nodes[f[2]]};
         slot[pairs[which][0]] = &s1;
         merge_into(s2, *slot[pairs[which][2]], *slot[pairs[which][3]]);
+        if (local_roof) {
+            *local_roof =
+                node_roof(s1, nodes[f[pairs[which][0]]],
+                          nodes[f[pairs[which][1]]], *rp) +
+                node_roof(s2, *slot[pairs[which][2]],
+                          *slot[pairs[which][3]], *rp);
+        }
         (void)tmp_first;
         double tcs[2] = {s1.tc, s2.tc};
         double mcs[2] = {s1.mc, s2.mc};
@@ -490,7 +532,7 @@ struct TrialResult {
 void run_trial(const Network& net, const int* init_order, int iters,
                const double* betas, int n_betas, double sc_target,
                double alpha, int slicing_repeat, uint64_t seed,
-               TrialResult& best) {
+               int objective, const RoofParams& rp, TrialResult& best) {
     Tree tree;
     tree.init(net);
     tree.build(init_order, net.n_tensors - 1);
@@ -500,6 +542,14 @@ void run_trial(const Network& net, const int* init_order, int iters,
 
     auto scored = [&](double& tc, double& sc, double& mc) {
         tree.complexity(tc, sc, mc);
+        if (objective == 1) {
+            // log10(seconds x 2^slices) + the legacy sc-budget penalty so
+            // over-budget trees still feel slicing pressure
+            double r = std::log10(tree.roofline(rp))
+                + tree.sliced_bonds.size() * LOG10_2
+                + 2.0 * LOG10_2 * std::max(0.0, sc - sc_target);
+            return r;
+        }
         return score_fn(tc, sc, mc, sc_target, alpha);
     };
 
@@ -522,15 +572,24 @@ void run_trial(const Network& net, const int* init_order, int iters,
             if (tree.local_frontier(v, f, branch)) {
                 int cur = tree.current_order3(v, f, branch);
                 double tc0, sc0, mc0, tc1, sc1, mc1;
-                tree.whatif_order3(f, cur, tc0, sc0, mc0, s1, s2);
-                double ref = score_fn(tc0, sc0, mc0, sc_target, alpha);
+                double roof0 = 0, roof1 = 0;
+                tree.whatif_order3(f, cur, tc0, sc0, mc0, s1, s2,
+                                   &rp, objective == 1 ? &roof0 : nullptr);
+                double ref = objective == 1
+                    ? std::log10(roof0)
+                      + 2.0 * LOG10_2 * std::max(0.0, sc0 - sc_target)
+                    : score_fn(tc0, sc0, mc0, sc_target, alpha);
                 // pick one of the two alternatives at random
                 int alts[2], na = 0;
                 for (int w = 0; w < 3; w++)
                     if (w != cur) alts[na++] = w;
                 int cand = alts[rng() & 1];
-                tree.whatif_order3(f, cand, tc1, sc1, mc1, s1, s2);
-                double cs = score_fn(tc1, sc1, mc1, sc_target, alpha);
+                tree.whatif_order3(f, cand, tc1, sc1, mc1, s1, s2,
+                                   &rp, objective == 1 ? &roof1 : nullptr);
+                double cs = objective == 1
+                    ? std::log10(roof1)
+                      + 2.0 * LOG10_2 * std::max(0.0, sc1 - sc_target)
+                    : score_fn(tc1, sc1, mc1, sc_target, alpha);
                 double delta = cs - ref;
                 if (delta <= 0 || uni(rng) < std::exp(-beta * delta))
                     tree.apply_order3(v, f, branch, cand);
@@ -572,9 +631,20 @@ void run_trial(const Network& net, const int* init_order, int iters,
             int pick = cands[0];
             double bestw = 1e300;
             for (int b : cands) {
-                double wt, ws, wm;
-                tree.whatif_slice(b, wt, ws, wm);
-                double w = score_fn(wt, ws, wm, sc_target, alpha);
+                double w;
+                if (objective == 1) {
+                    tree.do_slice(b);
+                    double wt, ws, wm;
+                    tree.complexity(wt, ws, wm);
+                    w = std::log10(tree.roofline(rp))
+                        + tree.sliced_bonds.size() * LOG10_2
+                        + 2.0 * LOG10_2 * std::max(0.0, ws - sc_target);
+                    tree.undo_slice(b);
+                } else {
+                    double wt, ws, wm;
+                    tree.whatif_slice(b, wt, ws, wm);
+                    w = score_fn(wt, ws, wm, sc_target, alpha);
+                }
                 if (w < bestw) {
                     bestw = w;
                     pick = b;
@@ -643,8 +713,16 @@ int sa_find_order(
     int n_threads,
     int* out_order,            // (n_tensors-1) x 2
     int* out_sliced,           // capacity n_bonds
-    double* out_stats)         // [tc, sc, mc, score]
+    double* out_stats,         // [tc, sc, mc, score]
+    int objective,             // 0 = legacy score, 1 = chip-true roofline
+    double roof_muladds_per_s,
+    double roof_bytes_per_s,
+    double roof_step_ov_s)
 {
+    RoofParams rp;
+    if (roof_muladds_per_s > 0) rp.muladds_per_s = roof_muladds_per_s;
+    if (roof_bytes_per_s > 0) rp.bytes_per_s = roof_bytes_per_s;
+    if (roof_step_ov_s > 0) rp.step_ov = roof_step_ov_s;
     if (n_tensors < 2) return -1;
     Network net;
     net.n_tensors = n_tensors;
@@ -672,17 +750,21 @@ int sa_find_order(
             for (int tr = w; tr < trials; tr += n_threads) {
                 run_trial(net, init_orders + tr * pairs * 2, iters, betas,
                           n_betas, sc_target, alpha, slicing_repeat,
-                          seed + 7919ull * (uint64_t)tr, results[tr]);
+                          seed + 7919ull * (uint64_t)tr, objective, rp,
+                          results[tr]);
             }
         });
     }
     for (auto& th : pool) th.join();
 
-    // pick by total-flops rank: tc + #slices*log10(2)
+    // rank: mode 0 by total flops (tc + #slices*log10 2), mode 1 by the
+    // roofline objective the trials optimized (stored in .score)
     int bi = 0;
     double bv = 1e300;
     for (int tr = 0; tr < trials; tr++) {
-        double v = results[tr].tc + results[tr].sliced.size() * LOG10_2;
+        double v = objective == 1
+            ? results[tr].score
+            : results[tr].tc + results[tr].sliced.size() * LOG10_2;
         if (v < bv) {
             bv = v;
             bi = tr;

@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -25,7 +26,7 @@ import numpy as np
 
 REF_CIRCUIT = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
 REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
-PLAN = "plans/n30_m14_sparse_sc22.json"
+PLAN = os.environ.get("BENCH_PLAN", "plans/n30_m14_sparse_sc22.json")
 TORCH_CPU_BASELINE_S = 296.3  # measured; see module docstring
 N_BITSTRINGS = 1000
 REPEATS = 3
@@ -90,15 +91,19 @@ def main():
     tb2, fq2 = ntn.simplify("sparse")
 
     order, sliced, ctree = plan_io.load_plan(PLAN)
+    sc_t = float(PLAN.rsplit("sc", 1)[1].split(".")[0])
     steps, out_bonds, bits_sorted = contraction_scheme_sparse(
-        ctree, bitstrings, sc_target=22)
+        ctree, bitstrings, sc_target=sc_t)
     field = make_field(np.complex64, "highest", "split")
     staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
     k = len(sliced)
+    width = int(os.environ.get("BENCH_WIDTH", "128"))
+    if (2 ** k) % width:
+        width = 1
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bits_sorted),), field,
-        slice_batch=128))
+        slice_batch=width))
 
     def once():
         t0 = time.time()
