@@ -32,10 +32,12 @@ class MPS:
     squared overlap with the exact state (product approximation).
     """
 
-    def __init__(self, n, chi=64, init_state=None):
+    def __init__(self, n, chi=64, init_state=None, canonical=True):
         self.n = n
         self.chi = chi
+        self.canonical = canonical
         self.log_fidelity = 0.0
+        self.center = 0
         bits = init_state if init_state is not None else "0" * n
         self.sites = []
         for b in bits:
@@ -43,13 +45,45 @@ class MPS:
             v[0, int(b), 0] = 1.0
             self.sites.append(v)
 
+    # -- canonical-form maintenance ---------------------------------------
+
+    def _move_center_to(self, q):
+        """QR sweeps moving the orthogonality center to site ``q``: sites
+        left of the center stay left-isometric, right of it
+        right-isometric, so the local SVD truncation in
+        :meth:`_apply_2q_adjacent` is variationally OPTIMAL and the kept
+        weight is the exact local fidelity factor (round-2 verdict: the
+        non-canonical variant's estimate was only estimate-grade)."""
+        while self.center < q:
+            c = self.center
+            a = self.sites[c]
+            l, _, r = a.shape
+            qm, rm = np.linalg.qr(a.reshape(l * 2, r))
+            self.sites[c] = qm.reshape(l, 2, -1)
+            self.sites[c + 1] = np.tensordot(rm, self.sites[c + 1],
+                                             axes=(1, 0))
+            self.center = c + 1
+        while self.center > q:
+            c = self.center
+            a = self.sites[c]
+            l, _, r = a.shape
+            # m = R^T Q^T with Q^T rows orthonormal: right-isometric site
+            qm, rm = np.linalg.qr(a.reshape(l, 2 * r).T)
+            self.sites[c] = qm.T.reshape(-1, 2, r)
+            self.sites[c - 1] = np.tensordot(self.sites[c - 1], rm.T,
+                                             axes=(2, 0))
+            self.center = c - 1
+
     # -- gates ------------------------------------------------------------
 
     def apply_1q(self, g, q):
+        # unitary on the physical leg preserves both isometry directions
         self.sites[q] = np.einsum("ds,asb->adb", g, self.sites[q])
 
     def _apply_2q_adjacent(self, g, q):
         """g: (2,2,2,2) as out1,out2,in1,in2 on sites (q, q+1)."""
+        if self.canonical and not (q <= self.center <= q + 1):
+            self._move_center_to(q)
         a = self.sites[q]
         b = self.sites[q + 1]
         la, _, _ = a.shape
@@ -66,13 +100,10 @@ class MPS:
         s = s[:keep]
         u = u[:, :keep]
         vh = vh[:keep]
-        # NB: no canonical-form sweep is maintained, so the local singular
-        # values are weighted by the (non-isometric) environment; the
-        # truncation is then mildly suboptimal and kept/w is an ESTIMATE
-        # of the local fidelity factor — adequate for a verifier, and the
-        # untruncated path stays exact.
         self.sites[q] = u.reshape(la, 2, keep)
         self.sites[q + 1] = (s[:, None] * vh).reshape(keep, 2, rb)
+        if self.canonical:
+            self.center = q + 1
 
     def apply_gate(self, name, qubits, params=()):
         from ..circuits.gates import QSIM_GATES
@@ -123,15 +154,20 @@ class MPS:
         return float(np.exp(self.log_fidelity))
 
 
-def mps_simulate(circuit, chi=64):
+def mps_simulate(circuit, chi=64, canonical=True):
     """Run a TensorNetworkCircuit / (n, layers) / qsim path through a
     truncated MPS.  Returns the MPS (query .amplitude / .fidelity_estimate).
+
+    ``canonical`` (default) maintains the mixed-canonical center so every
+    truncation is variationally optimal; False reproduces the round-2
+    estimate-grade behavior (kept for comparison tests).
     """
     from ..circuits import TensorNetworkCircuit
 
     if not isinstance(circuit, TensorNetworkCircuit):
         circuit = TensorNetworkCircuit(circuit)
-    mps = MPS(circuit.n, chi=chi, init_state=circuit.init_state)
+    mps = MPS(circuit.n, chi=chi, init_state=circuit.init_state,
+              canonical=canonical)
     for layer in circuit.layers:
         for name, qubits, params in layer:
             mps.apply_gate(name, qubits, params)
