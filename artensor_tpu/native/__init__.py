@@ -91,7 +91,8 @@ def load_kernel():
         ctypes.c_int,                     # objective (0 score, 1 roofline)
         ctypes.c_double,                  # roofline muladds/s
         ctypes.c_double,                  # roofline bytes/s
-        ctypes.c_double,                  # roofline per-step overhead s
+        ctypes.c_double,                  # roofline per-step w1 overhead s
+        ctypes.c_double,                  # roofline HBM budget bytes
     ]
     _LIB = lib
     return _LIB
@@ -155,7 +156,8 @@ def sa_find_order_native(tn, init_orders, sc_target, iters, betas,
         1 if objective == "roofline" else 0,
         float(_COST.TPU_COMPLEX_MULADD_PER_S),
         float(_COST.TPU_HBM_BYTES_PER_S),
-        float(_COST.STEP_OVERHEAD_S),
+        float(_COST.STEP_OVERHEAD_W1_S),
+        float(_COST.HBM_BUDGET_BYTES),
     )
     assert n_sliced >= 0, "native SA failed"
     order = [(int(out_order[2 * p]), int(out_order[2 * p + 1]))

@@ -72,8 +72,21 @@ const double LOG10_2 = std::log10(2.0);
 struct RoofParams {
     double muladds_per_s = 28.6e12 / 8.0;
     double bytes_per_s = 450e9;
-    double step_ov = 3e-6;
+    double step_ov = 3e-6;       // floor (wide-vmap amortized)
+    double step_ov_w1 = 330e-6;  // fixed per-step cost at vmap width 1
+    double hbm_budget = 12e9;    // usable bytes for the slice-vmap batch
 };
+
+// the slice-vmap width the plan can afford: HBM / (8 bytes * live set),
+// where live set = 2^mc (mc in log2).  Small steps carry step_ov_w1 of
+// fixed cost amortized by the width (measured: 59 ms/slice at width 1
+// vs 9.2 ms at 128 on the n30 scheme).
+double width_overhead(double mc_log2, int n_steps, const RoofParams& rp) {
+    double width = rp.hbm_budget / (8.0 * std::exp2(mc_log2));
+    width = std::max(1.0, std::min(width, 256.0));
+    double ov = std::max(rp.step_ov, rp.step_ov_w1 / width);
+    return ov * n_steps;
+}
 
 double node_roof(const Node& v, const Node& L, const Node& R,
                  const RoofParams& rp) {
@@ -82,7 +95,7 @@ double node_roof(const Node& v, const Node& L, const Node& R,
     double compute = std::exp2(v.tc) / rate;
     double traffic = 8.0 * (std::exp2(L.sc) + std::exp2(R.sc)
                             + std::exp2(v.sc)) / rp.bytes_per_s;
-    return std::max(compute, traffic) + rp.step_ov;
+    return std::max(compute, traffic);
 }
 
 double score_fn(double tc, double sc, double mc, double sc_target, double alpha) {
@@ -237,6 +250,13 @@ struct Tree {
         tc = log2sumexp2(tcs.data(), (int)tcs.size()) * LOG10_2;
         sc = scmax;
         mc = log2sumexp2(mcs.data(), (int)mcs.size()) * LOG10_2;
+    }
+
+    double max_mc() const {
+        double m = 0.0;
+        for (const Node& nd : nodes)
+            if (!nd.leaf()) m = std::max(m, nd.mc);
+        return m;
     }
 
     double roofline(const RoofParams& rp) const {
@@ -544,8 +564,12 @@ void run_trial(const Network& net, const int* init_order, int iters,
         tree.complexity(tc, sc, mc);
         if (objective == 1) {
             // log10(seconds x 2^slices) + the legacy sc-budget penalty so
-            // over-budget trees still feel slicing pressure
-            double r = std::log10(tree.roofline(rp))
+            // over-budget trees still feel slicing pressure; per-step
+            // overhead amortized by the slice-vmap width the PEAK live
+            // set allows (aggregate mc over-counts freed buffers)
+            double r = std::log10(
+                    tree.roofline(rp)
+                    + width_overhead(tree.max_mc(), net.n_tensors - 1, rp))
                 + tree.sliced_bonds.size() * LOG10_2
                 + 2.0 * LOG10_2 * std::max(0.0, sc - sc_target);
             return r;
@@ -636,7 +660,10 @@ void run_trial(const Network& net, const int* init_order, int iters,
                     tree.do_slice(b);
                     double wt, ws, wm;
                     tree.complexity(wt, ws, wm);
-                    w = std::log10(tree.roofline(rp))
+                    w = std::log10(
+                            tree.roofline(rp)
+                            + width_overhead(tree.max_mc(),
+                                             net.n_tensors - 1, rp))
                         + tree.sliced_bonds.size() * LOG10_2
                         + 2.0 * LOG10_2 * std::max(0.0, ws - sc_target);
                     tree.undo_slice(b);
@@ -717,12 +744,14 @@ int sa_find_order(
     int objective,             // 0 = legacy score, 1 = chip-true roofline
     double roof_muladds_per_s,
     double roof_bytes_per_s,
-    double roof_step_ov_s)
+    double roof_step_ov_w1_s,
+    double roof_hbm_budget_bytes)
 {
     RoofParams rp;
     if (roof_muladds_per_s > 0) rp.muladds_per_s = roof_muladds_per_s;
     if (roof_bytes_per_s > 0) rp.bytes_per_s = roof_bytes_per_s;
-    if (roof_step_ov_s > 0) rp.step_ov = roof_step_ov_s;
+    if (roof_step_ov_w1_s > 0) rp.step_ov_w1 = roof_step_ov_w1_s;
+    if (roof_hbm_budget_bytes > 0) rp.hbm_budget = roof_hbm_budget_bytes;
     if (n_tensors < 2) return -1;
     Network net;
     net.n_tensors = n_tensors;

@@ -49,10 +49,34 @@ MXU_K_FULL = 128.0      # systolic contraction width: a step contracting
                         # K < 128 bond values uses only K/128 of the MXU
 STEP_OVERHEAD_S = 3e-6  # per-step dispatch/layout overhead (measured-ish)
 
+# Per-step fixed cost at slice-vmap width 1 and the HBM-bound width cap.
+# Measured round 3 (scripts/gk_ab.py): the n30 scheme runs 59 ms/slice at
+# width 1 vs 9.2 ms at width 128 — small steps carry a ~0.33 ms fixed cost
+# that slice batching amortizes, and the usable width is capped by HBM
+# (~2^(27 - sc) for this workload's live-set shape: sc22 ran at 128,
+# sc23 OOMed at 32, sc24 at 8).  A roofline that ignores this prefers
+# big-slice plans that then CANNOT batch wide and run 3-5x slower.
+STEP_OVERHEAD_W1_S = 330e-6
+HBM_BUDGET_BYTES = 12e9   # usable for the slice-vmap live set
+
+
+def slice_vmap_width(mc_log2):
+    """HBM-limited slice-vmap width for a plan whose live set is 2^mc
+    elements (8 bytes each as a split-complex pair)."""
+    w = HBM_BUDGET_BYTES / (8.0 * 2.0 ** mc_log2)
+    return max(1.0, min(w, 256.0))
+
+
+def step_overhead_for(mc_log2):
+    """Width-aware per-step overhead for the roofline objective."""
+    return max(STEP_OVERHEAD_S,
+               STEP_OVERHEAD_W1_S / slice_vmap_width(mc_log2))
+
 
 def tree_roofline_seconds(tree, bytes_per_elem=8.0,
                           muladds_per_s=TPU_COMPLEX_MULADD_PER_S,
-                          bytes_per_s=TPU_HBM_BYTES_PER_S):
+                          bytes_per_s=TPU_HBM_BYTES_PER_S,
+                          step_overhead_s=None):
     """Predicted per-slice wall seconds under a two-resource roofline.
 
     Each contraction step costs max(compute, HBM traffic) + overhead:
@@ -66,6 +90,12 @@ def tree_roofline_seconds(tree, bytes_per_elem=8.0,
     clock (a measured 9%-fewer-flops plan ran 27% slower; an sc21 plan
     with 40% fewer flops ran ~10x slower).
     """
+    if step_overhead_s is None:
+        # PEAK live set (max per-step mc), not the aggregate tree mc —
+        # the executor frees consumed buffers, so only the largest step's
+        # live set constrains the slice-vmap width
+        mcs = [v.mc for v in tree.nodes_root_to_leaves() if not v.is_leaf()]
+        step_overhead_s = step_overhead_for(max(mcs, default=0.0))
     total = 0.0
     for v in tree.nodes_root_to_leaves():
         if v.is_leaf():
@@ -76,7 +106,7 @@ def tree_roofline_seconds(tree, bytes_per_elem=8.0,
         compute = (2.0 ** v.tc) / rate
         traffic = bytes_per_elem * (
             2.0 ** v.left.sc + 2.0 ** v.right.sc + 2.0 ** v.sc) / bytes_per_s
-        total += max(compute, traffic) + STEP_OVERHEAD_S
+        total += max(compute, traffic) + step_overhead_s
     return total
 
 
