@@ -257,31 +257,46 @@ class TensorNetworkSimulation:
                 run = jax.jit(ex.make_sliced_runner(
                     execute, self.steps, self.slicing_axes, k, out_shape,
                     field, slice_batch=slice_batch))
-                try:
-                    if report is not None:
-                        # AOT split so the report separates compile from run
-                        with mt.Timer() as ct:
-                            compiled = run.lower(arrays).compile()
-                        report.compile_s = ct.elapsed
-                        result = compiled(arrays)
-                    else:
-                        result = run(arrays)
-                except Exception as e:   # pragma: no cover - env-specific
-                    # certain plan/order combinations crash this
-                    # environment's remote XLA compile helper with no
-                    # diagnostics (docs/BENCH_NOTES.md); retry with
-                    # conservative residual orders, segmented
-                    if "remote_compile" not in str(e):
-                        raise
-                    import logging
-                    logging.getLogger(__name__).warning(
-                        "monolithic compile failed (%s); retrying with "
-                        "conservative orders in segmented mode", e)
-                    from .runtime.segmented import run_segmented
-                    self._compile_scheme(lane_schedule=False)
-                    result = run_segmented(
-                        arrays, self.steps, self.slicing_axes, k, out_shape,
-                        field, apply_step)
+                result = None
+                while result is None:
+                    try:
+                        if report is not None:
+                            # AOT split: the report separates compile/run
+                            with mt.Timer() as ct:
+                                compiled = run.lower(arrays).compile()
+                            report.compile_s = ct.elapsed
+                            result = compiled(arrays)
+                        else:
+                            result = run(arrays)
+                    except Exception as e:  # pragma: no cover (env-specific)
+                        import logging
+                        msg = str(e)
+                        if "remote_compile" not in msg:
+                            raise
+                        if ("Ran out of memory" in msg
+                                or "hbm" in msg) and slice_batch > 1:
+                            # the compile helper reports HBM demand
+                            # explicitly now: the slice-vmap width is the
+                            # knob — halve and retry
+                            slice_batch //= 2
+                            logging.getLogger(__name__).warning(
+                                "compile OOM; retrying with slice_batch="
+                                "%d", slice_batch)
+                            run = jax.jit(ex.make_sliced_runner(
+                                execute, self.steps, self.slicing_axes, k,
+                                out_shape, field, slice_batch=slice_batch))
+                            continue
+                        # remaining helper failures (round-2 noted crashes
+                        # with no diagnostics): conservative orders,
+                        # segmented programs
+                        logging.getLogger(__name__).warning(
+                            "monolithic compile failed (%s); retrying with "
+                            "conservative orders in segmented mode", e)
+                        from .runtime.segmented import run_segmented
+                        self._compile_scheme(lane_schedule=False)
+                        result = run_segmented(
+                            arrays, self.steps, self.slicing_axes, k,
+                            out_shape, field, apply_step)
             result = field.unwrap(result).reshape(out_shape)
         if profiler is not None:
             profiler.__exit__(None, None, None)

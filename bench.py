@@ -90,8 +90,10 @@ def main():
     ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
     tb2, fq2 = ntn.simplify("sparse")
 
+    import re
     order, sliced, ctree = plan_io.load_plan(PLAN)
-    sc_t = float(PLAN.rsplit("sc", 1)[1].split(".")[0])
+    m = re.search(r"sc(\d+)", PLAN)
+    sc_t = float(m.group(1)) if m else 22.0
     steps, out_bonds, bits_sorted = contraction_scheme_sparse(
         ctree, bitstrings, sc_target=sc_t)
     field = make_field(np.complex64, "highest", "split")
