@@ -1,0 +1,76 @@
+"""Time the dense n30 output-block walk (BASELINE config 2) on the chip.
+
+Walks the first N of 64 blocks of the 2^30 state through
+contraction_output_blocks (with the round-3 kernel-scheduled dense
+scheme) and reports s/block — the round-2 measurement was ~1.4 s/block
+(87 s execution for all 64).
+
+Usage: python scripts/dense_block_bench.py [n_blocks=4]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+import numpy as np  # noqa: E402
+import os  # noqa: E402
+os.environ.setdefault("ARTENSOR_TPU_CACHE", os.path.abspath(".jax_cache"))
+from artensor_tpu.cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.runtime import scheme as sch
+    from artensor_tpu.runtime.executor import (
+        build_slicing_axes, execute_dense, make_sliced_runner, stage_tensors)
+
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n, layers = load_cirq_circuit(
+        "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py")
+    circ = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("normal")
+    order, sliced, ctree = plan_io.load_plan(
+        "plans/n30_m14_dense_blocks64_sc26.json")
+    steps, out_bonds = sch.contraction_scheme(ctree)
+    nk = sum(1 for s in steps if s.lane is not None)
+    print(f"# scheme: {len(steps)} steps, {nk} kernel steps")
+    axes = build_slicing_axes(tb2, sliced, bond_dims=ntn.bond_dims)
+    k = len(sliced)
+    field = make_field(np.complex64, "highest", "split")
+    staged = jax.device_put(stage_tensors(
+        field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
+    run = jax.jit(make_sliced_runner(
+        execute_dense, steps, axes, k, (2,) * len(out_bonds), field))
+    norm = 0.0
+    times = []
+    t0 = time.time()
+    for blk in range(n_blocks):
+        ids = jnp.asarray([blk], dtype=jnp.int32)
+        r = run(staged, ids)
+        norm += float(np.asarray(r[0], dtype=np.float64).ravel().dot(
+            np.asarray(r[0], dtype=np.float64).ravel())
+            + np.asarray(r[1], dtype=np.float64).ravel().dot(
+            np.asarray(r[1], dtype=np.float64).ravel()))
+        t1 = time.time()
+        times.append(t1 - t0)
+        t0 = t1
+        print(f"block {blk}: {times[-1]:.2f}s (norm so far {norm:.6f}, "
+              f"expect ~{(blk + 1) / 64:.4f} avg)", flush=True)
+    if len(times) > 1:
+        steady = float(np.median(times[1:]))
+        print(f"steady-state {steady:.2f} s/block -> "
+              f"{steady * 64:.0f} s for the full 2^30 state "
+              f"(round 2: ~87 s execution = 1.4 s/block)")
+
+
+if __name__ == "__main__":
+    main()
