@@ -43,8 +43,16 @@ def main():
     steps, out_bonds = sch.contraction_scheme(ctree)
     nk = sum(1 for s in steps if s.lane is not None)
     print(f"# scheme: {len(steps)} steps, {nk} kernel steps")
-    axes = build_slicing_axes(tb2, sliced, bond_dims=ntn.bond_dims)
-    k = len(sliced)
+    # the plan was built by prepare_output_sharded: the 6 chosen output
+    # legs were REMOVED before planning; slice-select them from the full
+    # network (mirrors simulation._dense_shard_setup)
+    from artensor_tpu.simulation import _bond_sort_key, get_bond_tensors
+    bt = get_bond_tensors(tb2)
+    open_bonds = sorted((b for b, ts in bt.items() if len(ts) == 1),
+                        key=_bond_sort_key)
+    chosen = open_bonds[:6]
+    axes = build_slicing_axes(tb2, chosen + sliced, bond_dims=ntn.bond_dims)
+    k = 6 + len(sliced)
     field = make_field(np.complex64, "highest", "split")
     staged = jax.device_put(stage_tensors(
         field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
