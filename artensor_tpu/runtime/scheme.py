@@ -137,7 +137,6 @@ def contraction_scheme(ctree, lane_schedule=True):
         else:
             iy = preferred_output_order(ix_i, ix_j, yset)
         assert set(iy) == yset
-        bond_order[id(v)] = iy
         step = make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j, lane)
         if lane_schedule and lane is None:
             lane = plan_gk_step(step.ix_i, step.ix_j, step.iy,
@@ -151,6 +150,18 @@ def contraction_scheme(ctree, lane_schedule=True):
             if lane is not None:
                 import dataclasses
                 step = dataclasses.replace(step, lane=lane)
+            elif max(size_i, size_j) >= MIN_X_ELEMS:
+                # dense XLA fallback: a forced reorder on a big dense
+                # intermediate is a multi-pass element gather (measured
+                # 73 s/block vs 1.4 at n30 2^24 when every step pays it);
+                # keep the transpose-free natural order instead.  Small
+                # steps keep the time order so the invariant establishes
+                # early and downstream kernels stay eligible.
+                iy = preferred_output_order(ix_i, ix_j, yset,
+                                            dims_i, dims_j)
+                step = make_dense_step(i, j, ix_i, ix_j, iy,
+                                       dims_i, dims_j, None)
+        bond_order[id(v)] = iy
         steps.append(step)
         if v is ctree.root:
             output_bonds = iy

@@ -1,0 +1,80 @@
+"""n53 m20 pod-subtask rate: segmented execution with slice batching.
+
+Round-2 measured 903 ms/slice after 495 s of segment compiles (no slice
+batching in the segmented path then).  Round 3 added vmap slice batching
+inside run_segmented; this measures the warm rate for a handful of
+slices of the committed sc24 subtask plan.
+
+Usage: python scripts/n53_segment_bench.py [n_slices=8] [slice_batch=4]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+import numpy as np  # noqa: E402
+import os  # noqa: E402
+os.environ.setdefault("ARTENSOR_TPU_CACHE", os.path.abspath(".jax_cache"))
+from artensor_tpu.cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
+
+def main():
+    import jax
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.circuits import TensorNetworkCircuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.runtime.executor import (
+        build_slicing_axes, stage_tensors)
+    from artensor_tpu.runtime.segmented import (
+        apply_sparse_step, run_segmented)
+    from artensor_tpu.runtime.sparse import contraction_scheme_sparse
+
+    n_slices = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    circ = TensorNetworkCircuit(
+        "/root/reference/examples/circuits/circuit_n53_m20_s0_e0_pABCDCDAB.qsim")
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    order, sliced, ctree = plan_io.load_plan("plans/n53_m20_sparse_sc24.json")
+    rng = np.random.default_rng(0)
+    bits = [np.binary_repr(b, circ.n)
+            for b in rng.choice(2 ** 62 // 3, 1000, replace=False)]
+    bits = [b[-circ.n:] for b in bits]
+    t0 = time.time()
+    steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=24)
+    print(f"# scheme: {len(steps)} steps "
+          f"({sum(1 for s in steps if s.lane is not None)} kernel) "
+          f"compiled in {time.time()-t0:.0f}s host-side", flush=True)
+    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2,
+                              bond_dims=ntn.bond_dims)
+    k = len(sliced)
+    field = make_field(np.complex64, "highest", "split")
+    staged = jax.device_put(stage_tensors(
+        field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
+    t0 = time.time()
+    acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
+                        apply_sparse_step, segment_steps=64,
+                        slice_batch=width,
+                        slice_ids=range(n_slices))
+    amps = field.unwrap(acc)
+    wall = time.time() - t0
+    print(f"first run (incl segment compiles): {wall:.1f}s", flush=True)
+    t0 = time.time()
+    acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
+                        apply_sparse_step, segment_steps=64,
+                        slice_batch=width,
+                        slice_ids=range(n_slices, 2 * n_slices))
+    amps2 = field.unwrap(acc)
+    wall = time.time() - t0
+    print(f"warm: {wall:.1f}s for {n_slices} slices at width {width} "
+          f"-> {wall / n_slices * 1e3:.0f} ms/slice "
+          f"(round 2: 903 ms/slice)")
+    assert np.isfinite(amps).all() and np.isfinite(amps2).all()
+
+
+if __name__ == "__main__":
+    main()
