@@ -58,16 +58,19 @@ def main():
         field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
     run = jax.jit(make_sliced_runner(
         execute_dense, steps, axes, k, (2,) * len(out_bonds), field))
+    # norm reduced ON DEVICE: pulling a 2^24-element block through the
+    # tunnel measures the tunnel (~1.6 MB/s), not the chip
+    @jax.jit
+    def block_norm(ids):
+        r = run(staged, ids)
+        return (r[0].astype(jnp.float64) ** 2).sum()             + (r[1].astype(jnp.float64) ** 2).sum()
+
     norm = 0.0
     times = []
     t0 = time.time()
     for blk in range(n_blocks):
         ids = jnp.asarray([blk], dtype=jnp.int32)
-        r = run(staged, ids)
-        norm += float(np.asarray(r[0], dtype=np.float64).ravel().dot(
-            np.asarray(r[0], dtype=np.float64).ravel())
-            + np.asarray(r[1], dtype=np.float64).ravel().dot(
-            np.asarray(r[1], dtype=np.float64).ravel()))
+        norm += float(block_norm(ids))
         t1 = time.time()
         times.append(t1 - t0)
         t0 = t1
