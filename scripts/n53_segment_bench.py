@@ -41,9 +41,9 @@ def main():
     tb2, fq2 = ntn.simplify("sparse")
     order, sliced, ctree = plan_io.load_plan("plans/n53_m20_sparse_sc24.json")
     rng = np.random.default_rng(0)
-    bits = [np.binary_repr(b, circ.n)
-            for b in rng.choice(2 ** 62 // 3, 1000, replace=False)]
-    bits = [b[-circ.n:] for b in bits]
+    bits = ["".join(map(str, row))
+            for row in rng.integers(0, 2, size=(1000, circ.n))]
+    bits = sorted(set(bits))
     t0 = time.time()
     steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=24)
     print(f"# scheme: {len(steps)} steps "
@@ -55,25 +55,25 @@ def main():
     field = make_field(np.complex64, "highest", "split")
     staged = jax.device_put(stage_tensors(
         field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
-    t0 = time.time()
+    marks = [time.time()]
+
+    def progress(done, total):
+        marks.append(time.time())
+        print(f"  {done}/{total} slices at {marks[-1] - marks[-2]:.1f}s "
+              f"for the last batch", flush=True)
+
     acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
                         apply_sparse_step, segment_steps=64,
                         slice_batch=width,
-                        slice_ids=range(n_slices))
+                        slice_ids=range(n_slices), progress=progress)
     amps = field.unwrap(acc)
-    wall = time.time() - t0
-    print(f"first run (incl segment compiles): {wall:.1f}s", flush=True)
-    t0 = time.time()
-    acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
-                        apply_sparse_step, segment_steps=64,
-                        slice_batch=width,
-                        slice_ids=range(n_slices, 2 * n_slices))
-    amps2 = field.unwrap(acc)
-    wall = time.time() - t0
-    print(f"warm: {wall:.1f}s for {n_slices} slices at width {width} "
-          f"-> {wall / n_slices * 1e3:.0f} ms/slice "
-          f"(round 2: 903 ms/slice)")
-    assert np.isfinite(amps).all() and np.isfinite(amps2).all()
+    # steady state = batches after the first (which pays all compiles)
+    if len(marks) > 2:
+        per_batch = float(np.median(np.diff(marks[1:])))
+        print(f"steady {per_batch:.2f}s per {width}-slice batch -> "
+              f"{per_batch / width * 1e3:.0f} ms/slice "
+              f"(round 2: 903 ms/slice at width 1)")
+    assert np.isfinite(amps).all()
 
 
 if __name__ == "__main__":
