@@ -100,6 +100,8 @@ class GKPlan:
     est_s: float
     qb: int = 1          # slice instances packed per MXU dot under vmap
     fm: int = 128        # minor lane width of the f split (128, 64 or 32)
+    gb_gid: object = None  # grid run blocked by gt (short-F amortization)
+    gt: int = 1
 
 
 def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
@@ -248,7 +250,27 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     if any(kind == "g" for kind, _ in x_axes[-2:]):
         return _rej("g-in-tile")
     n_grid = _prod(_prod(dim_of[l] for l in r) for r in g_runs)
-    if n_grid * (F // block) > GRID_CAP:
+
+    # short-F steps: per-program work K*F is tiny, so the grid (and with
+    # it the ~0.9us/program cost, multiplied by the slice-vmap width)
+    # explodes.  Block the largest grid axis by gt so each program covers
+    # gt instances of the (K, F) problem.
+    gb_gid = None
+    gt = 1
+    if block == F and K * F * max(1, H // max(K, 1)) < BLOCK_F:
+        cands = [(view_x[k], a[1]) for k, a in enumerate(x_axes)
+                 if a[0] == "g"]
+        if cands:
+            d, gid = max(cands)
+            budget = (12 << 20) // (4 * 2 * (K + H) * F)
+            want = min(max(1, BLOCK_F // max(1, K * F)), max(1, budget))
+            while gt * 2 <= want and d % (gt * 2) == 0:
+                gt *= 2
+            if gt > 1:
+                gb_gid = gid
+            else:
+                gt = 1
+    if n_grid // gt * (F // block) > GRID_CAP:
         return _rej("grid-cap")
 
     # ---- Y view from iy --------------------------------------------------
@@ -351,7 +373,7 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     vpu_ok = 4 * K * H <= UNROLL_CAP
     use_mxu = (not vpu_ok) or mxu_s < vpu_s
     compute_s = mxu_s if use_mxu else vpu_s
-    compute_s += n_grid * (F // block) * PROGRAM_OVERHEAD_S / max(
+    compute_s += (n_grid // gt) * (F // block) * PROGRAM_OVERHEAD_S / max(
         qb if use_mxu else 1, 1)
     est_s = max(traffic_s, compute_s)
     est_xla = xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j)
@@ -361,7 +383,7 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     return GKPlan(w_is_j, tuple(view_x), tuple(x_axes), tuple(view_y),
                   tuple(y_axes), block, K, H, tuple(c_dims),
                   idx.astype(np.int32), use_mxu, dims_y, flops, est_s,
-                  qb, fm)
+                  qb, fm, gb_gid, gt)
 
 
 F_PROTECT = 1 << 10      # min tail-run elements kept minor before a
@@ -426,66 +448,101 @@ def _build_wk(w_flat, plan):
     return jnp.take(w_flat.reshape((-1,)), jnp.asarray(plan.wk_idx))
 
 
-def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
+def _block_axes(plan):
+    """Axes present in the kernel's x block (squeezed 'g' dropped; the
+    blocked 'gb' axis kept), and its position or -1."""
+    axes = []
+    gb_x = -1
+    for kind, gid in plan.x_axes:
+        if kind == "g":
+            if gid == plan.gb_gid:
+                gb_x = len(axes)
+                axes.append(("gb", gid))
+            continue
+        axes.append((kind, gid))
+    return axes, gb_x
+
+
+def _gk_body(plan, xrv, xiv, wr, wi, put):
+    """One (K, bf, fm) sub-problem; ``put(h_sel, fi, re, im)`` stores."""
     import jax.numpy as jnp
     from jax import lax
 
     K, H = plan.K, plan.H
-    fm = plan.fm
-    bf = plan.block // fm
-    # collapsing the leading c axes is layout-preserving (the tiled last
-    # two dims (bf, fm) are untouched), so scattered contract legs cost
-    # nothing here
-    xrv = xr_ref[...].reshape(K, bf, fm)
-    xiv = xi_ref[...].reshape(K, bf, fm)
-
-    def store_idx(h_sel, fi):
-        idx = []
-        for a in plan.y_axes:
-            if a[0] == "H":
-                idx.append(h_sel)
-            elif a == ("f", 0):
-                idx.append(fi)
-            elif a == ("f", 1):
-                idx.append(slice(None))
-            # 'g' squeezed: no entry
-        return tuple(idx)
-
+    bf = plan.block // plan.fm
+    has_h = any(a[0] == "H" for a in plan.y_axes)
     if plan.use_mxu:
-        # one re/im-packed dot per 128-lane column:
-        #   W4 (2H, 2K) = [[wr, -wi], [wi, wr]],  Xc (2K, 128) = [xr; xi]
+        # one re/im-packed dot per lane column:
+        #   W4 (2H, 2K) = [[wr, -wi], [wi, wr]],  Xc (2K, fm) = [xr; xi]
         #   W4 @ Xc = [re; im]
         dotf = partial(lax.dot_general,
                        dimension_numbers=(((1,), (0,)), ((), ())),
                        precision=lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
         w4 = jnp.concatenate(
-            [jnp.concatenate([wr_ref[...], -wi_ref[...]], axis=1),
-             jnp.concatenate([wi_ref[...], wr_ref[...]], axis=1)], axis=0)
+            [jnp.concatenate([wr, -wi], axis=1),
+             jnp.concatenate([wi, wr], axis=1)], axis=0)
         xc = jnp.concatenate([xrv, xiv], axis=0)    # (2K, bf, fm)
-        has_h = any(a[0] == "H" for a in plan.y_axes)
         for fi in range(bf):
             o = dotf(w4, xc[:, fi])                 # (2H, fm)
             re, im = o[:H], o[H:]
             if not has_h:                           # H == 1: no H out axis
                 re, im = re[0], im[0]
-            or_ref[store_idx(slice(None), fi)] = re
-            oi_ref[store_idx(slice(None), fi)] = im
+            put(slice(None), fi, re, im)
         return
-
     for h in range(H):
         re = im = None
         for k in range(K):
-            xrk = xrv[k]
-            xik = xiv[k]
-            wr = wr_ref[h, k]
-            wi = wi_ref[h, k]
-            r = wr * xrk - wi * xik
-            i = wi * xrk + wr * xik
+            r = wr[h, k] * xrv[k] - wi[h, k] * xiv[k]
+            i = wi[h, k] * xrv[k] + wr[h, k] * xiv[k]
             re = r if re is None else re + r
             im = i if im is None else im + i
-        or_ref[store_idx(h, slice(None))] = re
-        oi_ref[store_idx(h, slice(None))] = im
+        put(h, slice(None), re, im)
+
+
+def _store_idx(plan, q, h_sel, fi, lead=()):
+    """Output-ref index for one put: ``lead`` prefixes (e.g. the batched
+    qb axis); the blocked grid axis (if any) receives ``q``."""
+    idx = list(lead)
+    for a in plan.y_axes:
+        if a[0] == "g":
+            if a[1] == plan.gb_gid:
+                idx.append(q)
+            continue
+        if a[0] == "H":
+            idx.append(h_sel)
+        elif a == ("f", 0):
+            idx.append(fi)
+        else:
+            idx.append(slice(None))
+    return tuple(idx)
+
+
+def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
+    K = plan.K
+    fm = plan.fm
+    bf = plan.block // fm
+    axes, gb_x = _block_axes(plan)
+    wr = wr_ref[...]
+    wi = wi_ref[...]
+    xr = xr_ref[...]
+    xi = xi_ref[...]
+    for q in range(plan.gt):
+        if gb_x >= 0:
+            sel = tuple(q if k == gb_x else slice(None)
+                        for k in range(len(axes)))
+            # collapsing the remaining leading axes is layout-preserving
+            xrv = xr[sel].reshape(K, bf, fm)
+            xiv = xi[sel].reshape(K, bf, fm)
+        else:
+            xrv = xr.reshape(K, bf, fm)
+            xiv = xi.reshape(K, bf, fm)
+
+        def put(h_sel, fi, re, im, q=q):
+            or_ref[_store_idx(plan, q, h_sel, fi)] = re
+            oi_ref[_store_idx(plan, q, h_sel, fi)] = im
+
+        _gk_body(plan, xrv, xiv, wr, wi, put)
 
 
 def _gk_specs(plan, batch=0, qb=1):
@@ -497,7 +554,8 @@ def _gk_specs(plan, batch=0, qb=1):
     bf = plan.block // plan.fm
     F_units = next(plan.view_x[k] for k, a in enumerate(plan.x_axes)
                    if a == ("f", 0))
-    grid = tuple(plan.view_x[k] for k, a in enumerate(plan.x_axes)
+    grid = tuple(plan.view_x[k] // (plan.gt if a[1] == plan.gb_gid else 1)
+                 for k, a in enumerate(plan.x_axes)
                  if a[0] == "g") + (F_units // bf,)
     g_pos = {}
     gi = 0
@@ -512,7 +570,7 @@ def _gk_specs(plan, batch=0, qb=1):
         if kind == "c":
             xblock.append(plan.view_x[k])
         elif kind == "g":
-            xblock.append(None)
+            xblock.append(plan.gt if gid == plan.gb_gid else None)
         elif (kind, gid) == ("f", 0):
             xblock.append(bf)
         else:
@@ -534,7 +592,7 @@ def _gk_specs(plan, batch=0, qb=1):
     yblock = []
     for a in plan.y_axes:
         if a[0] == "g":
-            yblock.append(None)
+            yblock.append(plan.gt if a[1] == plan.gb_gid else None)
         elif a[0] == "H":
             yblock.append(plan.H)
         elif a == ("f", 0):
@@ -596,18 +654,16 @@ def _gk_unbatched(plan, interpret, xr_flat, xi_flat, wr_flat, wi_flat):
 
 def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
     """Batched kernel: qb slice instances block-diagonally packed into one
-    (qb*2H, qb*2K) @ (qb*2K, 128) dot per lane column — full MXU width at
+    (qb*2H, qb*2K) @ (qb*2K, fm) dot per lane column — full MXU width at
     any K.  The instance axis collapses into the contract rows for FREE
-    (leading-dim reshape; the tiled (bf, 128) minor dims are untouched)."""
+    (leading-dim reshape; the tiled (bf, fm) minor dims are untouched)."""
     import jax.numpy as jnp
     from jax import lax
 
     K, H = plan.K, plan.H
     fm = plan.fm
     bf = plan.block // fm
-    xr = xr_ref[...].reshape(qb, K, bf, fm)
-    xi = xi_ref[...].reshape(qb, K, bf, fm)
-    xc = jnp.concatenate([xr, xi], axis=1).reshape(qb * 2 * K, bf, fm)
+    axes, gb_x = _block_axes(plan)
     w = bd_ref[...]
     if w.ndim == 3:
         w = w[0]
@@ -616,26 +672,28 @@ def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
                    precision=lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32)
     has_h = any(a[0] == "H" for a in plan.y_axes)
-
-    def store_idx(fi):
-        idx = [slice(None)]          # qb axis
-        for a in plan.y_axes:
-            if a[0] == "H":
-                idx.append(slice(None))
-            elif a == ("f", 0):
-                idx.append(fi)
-            elif a == ("f", 1):
-                idx.append(slice(None))
-        return tuple(idx)
-
-    for fi in range(bf):
-        o = dotf(w, xc[:, fi])                     # (qb*2H, fm)
-        o3 = o.reshape(qb, 2, H, fm)
-        re, im = o3[:, 0], o3[:, 1]                # (qb, H, fm)
-        if not has_h:
-            re, im = re[:, 0], im[:, 0]            # (qb, fm)
-        or_ref[store_idx(fi)] = re
-        oi_ref[store_idx(fi)] = im
+    xr_all = xr_ref[...]
+    xi_all = xi_ref[...]
+    for q in range(plan.gt):
+        if gb_x >= 0:
+            sel = (slice(None),) + tuple(
+                q if k == gb_x else slice(None) for k in range(len(axes)))
+            xr = xr_all[sel].reshape(qb, K, bf, fm)
+            xi = xi_all[sel].reshape(qb, K, bf, fm)
+        else:
+            xr = xr_all.reshape(qb, K, bf, fm)
+            xi = xi_all.reshape(qb, K, bf, fm)
+        xc = jnp.concatenate([xr, xi], axis=1).reshape(qb * 2 * K, bf, fm)
+        for fi in range(bf):
+            o = dotf(w, xc[:, fi])                     # (qb*2H, fm)
+            o3 = o.reshape(qb, 2, H, fm)
+            re, im = o3[:, 0], o3[:, 1]                # (qb, H, fm)
+            if not has_h:
+                re, im = re[:, 0], im[:, 0]            # (qb, fm)
+            or_ref[_store_idx(plan, q, slice(None), fi,
+                              lead=(slice(None),))] = re
+            oi_ref[_store_idx(plan, q, slice(None), fi,
+                              lead=(slice(None),))] = im
 
 
 def _gk_batched(plan, interpret, W, qb, xr_b, xi_b, w4_b):

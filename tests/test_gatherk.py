@@ -236,3 +236,41 @@ def test_short_tail_fm64():
     plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
     assert plan is not None and plan.fm == 64
     _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_grid_blocking_short_f():
+    """Short trailing runs block a grid axis by gt so each program covers
+    many (K, F) sub-problems (short-F plans were measured overhead-bound
+    under vmap).  Oracle-checked unbatched and under vmap."""
+    import jax
+
+    ix_x = ("g1", "c1", "c2", "f1")
+    dims_x = (64, 2, 2, 128)
+    ix_w = ("c1", "c2", "n1")
+    dims_w = (2, 2, 4)
+    iy = ("g1", "n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None and plan.gt > 1 and plan.gb_gid is not None
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+    if plan.use_mxu and plan.qb > 1:
+        W = 4
+        rng = np.random.default_rng(11)
+        xs = (rng.standard_normal((W,) + dims_x)
+              + 1j * rng.standard_normal((W,) + dims_x)).astype(np.complex64)
+        w1 = (rng.standard_normal(dims_w)
+              + 1j * rng.standard_normal(dims_w)).astype(np.complex64)
+        field = make_field(np.complex64, "highest", "split")
+        xb = (jnp_stack(xs.real), jnp_stack(xs.imag))
+        wu = field.wrap(w1.reshape(-1))
+        got = jax.vmap(lambda xf, wf: apply_gk_step(
+            field, xf, wf, plan, interpret=True),
+            in_axes=((0, 0), None))(xb, wu)
+        lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+        want = np.stack([np.einsum(xs[b], [lab[l] for l in ix_x],
+                                   w1, [lab[l] for l in ix_w],
+                                   [lab[l] for l in iy])
+                         for b in range(W)])
+        out = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(
+            want.shape)
+        np.testing.assert_allclose(out, want, rtol=2e-4, atol=1e-5)
