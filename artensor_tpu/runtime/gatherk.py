@@ -185,8 +185,11 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     # and compute proportionally (priced into the est below) but rescues
     # steps whose minor free run is short — the dominant residual class.
     def _fm_of(F):
+        # sub-128 minor views of a LARGE buffer force XLA to materialize a
+        # lane-padded copy (measured: a GB-scale T(1,128) duplicate that
+        # OOMed the w128 bench program), so fm < 128 is small-X only
         for fm in (128, 64, 32):
-            if F % fm == 0:
+            if F % fm == 0 and (fm == 128 or x_elems <= (1 << 20)):
                 return fm
         return 0
 

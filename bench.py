@@ -96,6 +96,10 @@ def main():
     sc_t = float(m.group(1)) if m else 22.0
     steps, out_bonds, bits_sorted = contraction_scheme_sparse(
         ctree, bitstrings, sc_target=sc_t)
+    cap = os.environ.get("BENCH_KERNEL_CAP")
+    if cap is not None:
+        from artensor_tpu.runtime.lanes import prune_lane_plans
+        prune_lane_plans(steps, cap=int(cap))
     field = make_field(np.complex64, "highest", "split")
     staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
