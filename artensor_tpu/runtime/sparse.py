@@ -389,6 +389,7 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                 iy = (Bl, *new_bonds)
                 dims_i = dims_j = None  # chunked: dims vary per chunk
 
+        iy0 = tuple(iy)
         ix_i, ix_j, iy = _relabel(ix_i, ix_j, iy)
         if gathers is not None:
             lowered = None
@@ -419,6 +420,47 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                 if lane is None:
                     lane = plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j)
                     note += f"/pair:{lanes.LAST_REJECT}"
+                if (lane is None and reshape is None
+                        and max(_prod_dims(dim_of, bond_i)
+                                * (len(rep_i) if batched_i else 1),
+                                _prod_dims(dim_of, bond_j)
+                                * (len(rep_j) if batched_j else 1))
+                        >= (1 << 20)):
+                    # second chance on the residual hot steps: let the v1
+                    # scheduler CHOOSE the output order with the TAIL
+                    # orientation enabled — every surviving hot step has a
+                    # deep contract cluster + tiny trailing run, exactly
+                    # the v1 tail-lane shape (contract legs lane-resident
+                    # at the minor end, front cluster as combos)
+                    from .lanes import schedule_step
+                    old_or = lanes.ORIENTATIONS
+                    lanes.ORIENTATIONS = ("head", "tail")
+                    try:
+                        big_i = int(np.prod(dims_i)) >= int(np.prod(dims_j))
+                        batch_rel = None
+                        if batched_i or batched_j:
+                            batch_rel = ix_i[0] if batched_i else ix_j[0]
+                        pin = 1 if (batch_rel is not None
+                                    and ((big_i and batched_i)
+                                         or (not big_i and batched_j))) \
+                            else 0
+                        iy2, lane2 = schedule_step(
+                            ix_i, ix_j, set(iy), dims_i, dims_j, pin=pin)
+                        ok = lane2 is not None and (
+                            batch_rel is None or iy2[0] == batch_rel)
+                        if ok:
+                            lane = lane2
+                            orig_of = dict(zip(iy, iy0))
+                            new_bonds = [orig_of[l] for l in iy2
+                                         if not str(orig_of[l]).startswith(
+                                             "batch")]
+                            bonds[i] = new_bonds
+                            iy = tuple(iy2)
+                            lowered = lower_step(ix_i, ix_j, iy,
+                                                 dims_i, dims_j)
+                            note += "/retail:ok"
+                    finally:
+                        lanes.ORIENTATIONS = old_or
         steps.append(SparseStep(i, j, ix_i, ix_j, iy,
                                 gathers, reshape, post_select,
                                 lowered, lowered_chunks, lane, note))

@@ -28,7 +28,7 @@ REF_CIRCUIT = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
 REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
 PLAN = os.environ.get("BENCH_PLAN", "plans/n30_m14_sparse_sc22.json")
 TORCH_CPU_BASELINE_S = 296.3  # measured; see module docstring
-N_BITSTRINGS = 1000
+N_BITSTRINGS = int(os.environ.get("BENCH_NBITS", "1000"))
 REPEATS = 3
 
 
