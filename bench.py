@@ -6,7 +6,9 @@ against Google's Schrodinger-Feynman ground-truth file.  The contraction
 plan (native-SA-optimized, sc_target=22, 8 sliced bonds -> 256 slices,
 executed 128 vmapped slices per scan step) is loaded
 from plans/n30_m14_sparse_sc22.json, so the bench measures compile+execute,
-not planning.
+not planning.  Knobs: BENCH_PLAN (plan path), BENCH_WIDTH (slice-vmap
+width, default 128), BENCH_NBITS (amplitude count; 10000 = the
+north-star config), BENCH_KERNEL_CAP (Pallas step cap).
 
 Baseline for vs_baseline: the reference implementation (Fanerst/artensor,
 torch) executing the SAME plan/scheme on the CPU available here (no CUDA
