@@ -125,3 +125,50 @@ def test_nonmonotone_final_qubit_renumbering():
         iters=8, mode="complex", dtype=np.complex128)
     exact = np.array([sv[int(b, 2)] for b in out_bits])
     assert np.abs(np.asarray(amps) - exact).max() < 1e-12
+
+
+def test_scheme_with_gatherk_kernels_end_to_end(monkeypatch):
+    """Force gather-K eligibility at test scale (thresholds lowered) and
+    check the full sparse pipeline — time-ordered orders, kernel plans,
+    interpret-mode Pallas execution inside the sliced scan — against the
+    exact state vector."""
+    from artensor_tpu.circuits import TensorNetworkCircuit
+    from artensor_tpu.circuits.random_circuits import random_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.planner import find_order
+    from artensor_tpu.runtime import gatherk as gk
+    from artensor_tpu.runtime.executor import (
+        build_slicing_axes, make_sliced_runner, stage_tensors)
+    from artensor_tpu.runtime.sparse import (
+        contraction_scheme_sparse, execute_sparse)
+
+    monkeypatch.setattr(gk, "MIN_X_ELEMS", 1 << 8)
+    monkeypatch.setattr(gk, "SLACK", 1e9)
+
+    n, layers = random_circuit(3, 4, 8, seed=13)
+    c = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    rng = np.random.default_rng(4)
+    bits = [np.binary_repr(b, n)
+            for b in rng.choice(2 ** n, 48, replace=False)]
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, max_bitstrings=48, sc_target=10,
+        trials=2, iters=6, betas=np.linspace(3, 21, 12), slicing_repeat=1,
+        parallel=False)
+    steps, ob, bits_sorted = contraction_scheme_sparse(
+        ctree, bits, sc_target=10)
+    n_gk = sum(1 for s in steps if isinstance(s.lane, gk.GKPlan))
+    assert n_gk >= 1, "no gather-K plans attached at forced thresholds"
+    field = make_field(np.complex64, "highest", "split")
+    staged = stage_tensors(
+        field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    run = make_sliced_runner(execute_sparse, steps, axes, len(sliced),
+                             (len(bits_sorted),), field)
+    amps = field.unwrap(run(staged)).reshape(-1)
+    want = c.state_vec().reshape(-1)
+    for a, bs in zip(amps, bits_sorted):
+        assert abs(a - want[int(bs, 2)]) < 2e-5, (bs, a, want[int(bs, 2)])
