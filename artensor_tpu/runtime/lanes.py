@@ -702,6 +702,8 @@ class PairPlan:
     dims_y: tuple
     flops: int
     est_s: float
+    re_i: object = None  # input Reorder to (contract, rows) form (or None)
+    re_j: object = None
 
 
 def plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j):
@@ -720,14 +722,39 @@ def plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j):
     nc = len(contract)
     if not nc:
         return _rej("pair-outer")
-    if set(ix_i[:nc]) != set(contract) or set(ix_j[:nc]) != set(contract):
-        return _rej("pair-K-not-leading")
-    rows_i = list(ix_i[nc:])
-    rows_j = list(ix_j[nc:])
+    rows_i = [l for l in ix_i if l not in set(contract)]
+    rows_j = [l for l in ix_j if l not in set(contract)]
     if set(rows_i) & set_j or set(rows_j) & set_i:
         return _rej("pair-extra-shared")
-    if tuple(iy) != tuple(rows_i + rows_j):
+    # iy must group i-rows then j-rows, but WITHIN each group any order
+    # works: the input pre-permute absorbs it
+    if tuple(iy) != tuple([l for l in iy if l in set(rows_i)]
+                          + [l for l in iy if l in set(rows_j)]):
         return _rej("pair-iy")
+    rows_i = [l for l in iy if l in set(rows_i)]
+    rows_j = [l for l in iy if l in set(rows_j)]
+    # scattered contract legs: pre-permute each operand to
+    # (contract-canonical, rows-in-iy-order) with a cheap run-collapsed
+    # transpose (operands here are ~2^17-2^19 elements; TRANSPOSE_MAX
+    # bounds it)
+    from .lowering import plan_reorder
+
+    def _pre(ix, rows):
+        want = tuple(contract) + tuple(rows)
+        if tuple(ix) == want:
+            return None
+        pos = {l: k for k, l in enumerate(ix)}
+        r = plan_reorder(tuple(dim_of[l] for l in ix),
+                         tuple(pos[l] for l in want),
+                         (_prod(dim_of[l] for l in contract),
+                          _prod(dim_of[l] for l in rows)))
+        return r if r.mode == "transpose" else None
+
+    re_i = _pre(ix_i, rows_i)
+    re_j = _pre(ix_j, rows_j)
+    if (tuple(ix_i) != tuple(contract) + tuple(rows_i) and re_i is None)             or (tuple(ix_j) != tuple(contract) + tuple(rows_j)
+                and re_j is None):
+        return _rej("pair-K-not-leading")
     K = _prod(dim_of[l] for l in contract)
     M = _prod(dim_of[l] for l in rows_i)
     N = _prod(dim_of[l] for l in rows_j)
@@ -735,17 +762,24 @@ def plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j):
     bn = min(PAIR_TILE, N)
     if K > PAIR_K_CAP or K % 8 or bm % 128 or bn % 128             or M % bm or N % bn:
         return _rej("pair-tile")
-    # roofline: tiles re-read X N/bn times and V M/bm times
+    # roofline: tiles re-read X N/bn times and V M/bm times; input
+    # pre-permutes cost one extra read+write pass each
     reads = 4 * 2 * (M * K * (N // bn) + K * N * (M // bm) + M * N)
+    reads += 4 * 2 * 2 * ((M * K if re_i is not None else 0)
+                          + (K * N if re_j is not None else 0))
     compute_s = (4 * 2 * M * N * K
                  / (MXU_FLOPS_PER_S * min(1.0, K / 128.0)))
     traffic_s = reads / HBM_BYTES_PER_S
     if compute_s > ROOFLINE_SLACK * max(
             traffic_s, 4 * 2 * (M * K + K * N + M * N) / HBM_BYTES_PER_S):
         return _rej("pair-roofline")
-    # K-order alignment: j's leading legs permuted to i's order
-    if tuple(ix_j[:nc]) == tuple(ix_i[:nc]):
+    # K-order alignment: j's leading legs permuted to i's order (only
+    # relevant when j was NOT pre-permuted — the pre-permute already
+    # delivers the canonical contract order)
+    if re_j is not None or tuple(ix_j[:nc]) == tuple(contract):
         v_perm = None
+    elif False:
+        pass
     else:
         strides = {}
         s = 1
@@ -766,7 +800,7 @@ def plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j):
     dims_y = tuple(dim_of[l] for l in iy)
     flops = 4 * 2 * M * N * K
     return PairPlan(K, M, N, bm, bn, v_perm, False, dims_y, flops,
-                    max(compute_s, traffic_s))
+                    max(compute_s, traffic_s), re_i, re_j)
 
 
 def _pair_kernel(xr_ref, xi_ref, vr_ref, vi_ref, or_ref, oi_ref):
@@ -795,6 +829,11 @@ def apply_pair_step(field, x, y, plan, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     K, M, N = plan.K, plan.M, plan.N
+    from .lowering import apply_reorder
+    if plan.re_i is not None:
+        x = apply_reorder(field, x, plan.re_i)
+    if plan.re_j is not None:
+        y = apply_reorder(field, y, plan.re_j)
     xs = field.reshape(x, (K, M))
     vs = field.reshape(y, (K, N))
     if plan.v_perm is not None:

@@ -157,7 +157,9 @@ def test_pair_kernel_k_order_mismatch():
     dims_w = (16, 8, 256)
     iy = ("c", "d", "e")
     plan = plan_pair_step(ix_x, ix_w, iy, dims_x, dims_w)
-    assert isinstance(plan, PairPlan) and plan.v_perm is not None
+    assert isinstance(plan, PairPlan)
+    # either mechanism is fine: a K-row permutation or an input transpose
+    assert plan.v_perm is not None or plan.re_j is not None
     _run_and_check_pair(ix_x, ix_w, iy, dims_x, dims_w, plan)
 
 
@@ -176,3 +178,18 @@ def _run_and_check_pair(ix_x, ix_w, iy, dims_x, dims_w, plan, seed=0):
     dim_of = dict(zip(ix_x, dims_x), **dict(zip(ix_w, dims_w)))
     got = field.unwrap(got).reshape([dim_of[l] for l in iy])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_pair_kernel_scattered_contract_pre_permute():
+    # contract legs NOT leading in either operand: input pre-permutes
+    # (cheap run-collapsed transposes) deliver the (K, rows) form
+    ix_x = ("m1", "a", "m2", "b")
+    dims_x = (16, 8, 128, 16)
+    ix_w = ("n1", "b", "a", "n2")
+    dims_w = (16, 16, 8, 16)
+    iy = ("m1", "m2", "n1", "n2")
+    plan = plan_pair_step(ix_x, ix_w, iy, dims_x, dims_w)
+    assert isinstance(plan, PairPlan)
+    assert plan.re_i is not None and plan.re_j is not None
+    assert plan.K == 128
+    _run_and_check_pair(ix_x, ix_w, iy, dims_x, dims_w, plan)
