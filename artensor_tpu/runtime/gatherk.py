@@ -466,7 +466,7 @@ def _block_axes(plan):
     return axes, gb_x
 
 
-def _gk_body(plan, xrv, xiv, wr, wi, put):
+def _gk_body(plan, xrv, xiv, wr, wi, put, precision=None):
     """One (K, bf, fm) sub-problem; ``put(h_sel, fi, re, im)`` stores."""
     import jax.numpy as jnp
     from jax import lax
@@ -480,7 +480,7 @@ def _gk_body(plan, xrv, xiv, wr, wi, put):
         #   W4 @ Xc = [re; im]
         dotf = partial(lax.dot_general,
                        dimension_numbers=(((1,), (0,)), ((), ())),
-                       precision=lax.Precision.HIGHEST,
+                       precision=precision or lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
         w4 = jnp.concatenate(
             [jnp.concatenate([wr, -wi], axis=1),
@@ -521,7 +521,8 @@ def _store_idx(plan, q, h_sel, fi, lead=()):
     return tuple(idx)
 
 
-def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
+def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan,
+               precision=None):
     K = plan.K
     fm = plan.fm
     bf = plan.block // fm
@@ -545,7 +546,7 @@ def _gk_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
             or_ref[_store_idx(plan, q, h_sel, fi)] = re
             oi_ref[_store_idx(plan, q, h_sel, fi)] = im
 
-        _gk_body(plan, xrv, xiv, wr, wi, put)
+        _gk_body(plan, xrv, xiv, wr, wi, put, precision)
 
 
 def _gk_specs(plan, batch=0, qb=1):
@@ -625,7 +626,8 @@ def _gk_specs(plan, batch=0, qb=1):
     return grid, xspec, yspec
 
 
-def _gk_unbatched(plan, interpret, xr_flat, xi_flat, wr_flat, wi_flat):
+def _gk_unbatched(plan, interpret, xr_flat, xi_flat, wr_flat, wi_flat,
+                  precision=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -642,7 +644,7 @@ def _gk_unbatched(plan, interpret, xr_flat, xi_flat, wr_flat, wi_flat):
     traffic = 4 * 2 * (_prod(plan.view_x) + _prod(plan.view_y)
                        + plan.K * plan.H)
     return pl.pallas_call(
-        partial(_gk_kernel, plan=plan),
+        partial(_gk_kernel, plan=plan, precision=precision),
         grid=grid,
         in_specs=[xspec, xspec, wspec, wspec],
         out_specs=(yspec, yspec),
@@ -655,7 +657,8 @@ def _gk_unbatched(plan, interpret, xr_flat, xi_flat, wr_flat, wi_flat):
     )(xr, xi, wr, wi)
 
 
-def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
+def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb,
+                  precision=None):
     """Batched kernel: qb slice instances block-diagonally packed into one
     (qb*2H, qb*2K) @ (qb*2K, fm) dot per lane column — full MXU width at
     any K.  The instance axis collapses into the contract rows for FREE
@@ -672,7 +675,7 @@ def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
         w = w[0]
     dotf = partial(lax.dot_general,
                    dimension_numbers=(((1,), (0,)), ((), ())),
-                   precision=lax.Precision.HIGHEST,
+                   precision=precision or lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32)
     has_h = any(a[0] == "H" for a in plan.y_axes)
     xr_all = xr_ref[...]
@@ -699,7 +702,7 @@ def _gk_kernel_bd(xr_ref, xi_ref, bd_ref, or_ref, oi_ref, *, plan, qb):
                               lead=(slice(None),))] = im
 
 
-def _gk_batched(plan, interpret, W, qb, xr_b, xi_b, w4_b):
+def _gk_batched(plan, interpret, W, qb, xr_b, xi_b, w4_b, precision=None):
     """Batched pallas call; ``w4_b`` is (W//qb, qb*2H, qb*2K) or the single
     shared (qb*2H, qb*2K) block-diagonal matrix."""
     import jax
@@ -721,7 +724,7 @@ def _gk_batched(plan, interpret, W, qb, xr_b, xi_b, w4_b):
     out_shape = jax.ShapeDtypeStruct((W,) + plan.view_y, jnp.float32)
     traffic = 4 * 2 * W * (_prod(plan.view_x) + _prod(plan.view_y))
     return pl.pallas_call(
-        partial(_gk_kernel_bd, plan=plan, qb=qb),
+        partial(_gk_kernel_bd, plan=plan, qb=qb, precision=precision),
         grid=grid,
         in_specs=[xspec, xspec, wspec],
         out_specs=(yspec, yspec),
@@ -757,11 +760,13 @@ def apply_gk_step(field, x, y, plan, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xv, wv = (x, y) if plan.w_is_j else (y, x)
+    from .lanes import kernel_precision
+    precision = kernel_precision(field)
 
     @jax.custom_batching.custom_vmap
     def gk(xr_flat, xi_flat, wr_flat, wi_flat):
         return _gk_unbatched(plan, interpret, xr_flat, xi_flat,
-                             wr_flat, wi_flat)
+                             wr_flat, wi_flat, precision)
 
     @gk.def_vmap
     def gk_vmap(axis_size, in_batched, xr_flat, xi_flat, wr_flat, wi_flat):
@@ -794,11 +799,12 @@ def apply_gk_step(field, x, y, plan, interpret=None):
                     bd = bd.at[q * H2:(q + 1) * H2,
                                q * K2:(q + 1) * K2].set(w4)
             yr, yi = _gk_batched(plan, interpret, W, qb,
-                                 xr.reshape(W, -1), xi.reshape(W, -1), bd)
+                                 xr.reshape(W, -1), xi.reshape(W, -1), bd,
+                                 precision)
             return (yr, yi), (True, True)
         # fallback: plain vmap (grid multiplies by W)
         out = jax.vmap(
-            partial(_gk_unbatched, plan, interpret),
+            partial(_gk_unbatched, plan, interpret, precision=precision),
             in_axes=tuple(0 if b else None for b in in_batched),
             axis_size=W,
         )(xr_flat, xi_flat, wr_flat, wi_flat)

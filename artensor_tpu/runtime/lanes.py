@@ -83,6 +83,19 @@ def _prod(xs):
     return reduce(mul, xs, 1)
 
 
+def kernel_precision(field):
+    """The field's dot precision, clamped to what Mosaic supports inside a
+    Pallas kernel (DEFAULT / HIGHEST; HIGH = bf16x3 is rejected by the
+    Mosaic lowering, so 'high' fields keep full-precision kernel dots —
+    the speed win of 'high' mode comes from the XLA fallback steps)."""
+    from jax import lax
+
+    precision = getattr(field, "precision", None)
+    if precision not in (lax.Precision.DEFAULT, lax.Precision.HIGHEST):
+        precision = None
+    return precision
+
+
 def _lane_splits(legs, dim_of):
     """Candidate lane sizes: (count, L) per run with product <= LANE_CAP."""
     out = []
@@ -536,13 +549,14 @@ def _build_wp(w_flat, plan):
     return jnp.take(w_flat.reshape((-1,)), idx) * sign
 
 
-def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan):
+def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref, *, plan,
+            precision=None):
     import jax.numpy as jnp
     from jax import lax
 
     dot = partial(lax.dot_general,
                   dimension_numbers=(((1,), (0,)), ((), ())),
-                  precision=lax.Precision.HIGHEST,
+                  precision=precision or lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)
     re = im = None
     for c in range(plan.n_combos):
@@ -649,8 +663,9 @@ def apply_lane_step(field, x, y, plan, interpret=None):
     out_shape = jax.ShapeDtypeStruct(plan.view_y, jnp.float32)
     traffic = 4 * (2 * _prod(plan.view_x) + 2 * _prod(plan.view_y)
                    + 2 * plan.wp_idx.size)
+    precision = kernel_precision(field)
     yr, yi = pl.pallas_call(
-        partial(_kernel, plan=plan),
+        partial(_kernel, plan=plan, precision=precision),
         grid=grid,
         in_specs=[xspec, xspec, wspec, wspec],
         out_specs=(yspec, yspec),
@@ -803,13 +818,14 @@ def plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j):
                     max(compute_s, traffic_s), re_i, re_j)
 
 
-def _pair_kernel(xr_ref, xi_ref, vr_ref, vi_ref, or_ref, oi_ref):
+def _pair_kernel(xr_ref, xi_ref, vr_ref, vi_ref, or_ref, oi_ref,
+                 precision=None):
     import jax.numpy as jnp
     from jax import lax
 
     dot = partial(lax.dot_general,
                   dimension_numbers=(((0,), (0,)), ((), ())),
-                  precision=lax.Precision.HIGHEST,
+                  precision=precision or lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)
     xr, xi = xr_ref[...], xi_ref[...]
     vr, vi = vr_ref[...], vi_ref[...]
@@ -845,8 +861,9 @@ def apply_pair_step(field, x, y, plan, interpret=None):
     ospec = pl.BlockSpec((plan.bm, plan.bn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((M, N), jnp.float32)
+    precision = kernel_precision(field)
     yr, yi = pl.pallas_call(
-        _pair_kernel,
+        partial(_pair_kernel, precision=precision),
         grid=(M // plan.bm, N // plan.bn),
         in_specs=[xspec, xspec, vspec, vspec],
         out_specs=(ospec, ospec),

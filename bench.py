@@ -102,7 +102,8 @@ def main():
     if cap is not None:
         from artensor_tpu.runtime.lanes import prune_lane_plans
         prune_lane_plans(steps, cap=int(cap))
-    field = make_field(np.complex64, "highest", "split")
+    field = make_field(np.complex64,
+                       os.environ.get("BENCH_PRECISION", "highest"), "split")
     staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
     k = len(sliced)

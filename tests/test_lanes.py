@@ -193,3 +193,43 @@ def test_pair_kernel_scattered_contract_pre_permute():
     assert plan.re_i is not None and plan.re_j is not None
     assert plan.K == 128
     _run_and_check_pair(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_kernel_precision_clamped_to_mosaic_support():
+    # Mosaic rejects Precision.HIGH (bf16x3) inside a kernel: 'high'
+    # fields must clamp to HIGHEST; 'default'/'highest' pass through.
+    from jax import lax
+
+    from artensor_tpu.runtime.lanes import kernel_precision
+
+    assert kernel_precision(make_field(np.complex64, "highest", "split")) \
+        == lax.Precision.HIGHEST
+    assert kernel_precision(make_field(np.complex64, "high", "split")) is None
+    assert kernel_precision(make_field(np.complex64, "default", "split")) \
+        == lax.Precision.DEFAULT
+
+
+def test_lane_kernel_with_high_precision_field():
+    # end-to-end: a 'high'-precision field still runs the lane kernel
+    # (clamped dot precision) and matches the einsum oracle
+    rng = np.random.default_rng(3)
+    ix_x, dims_x = ("a", "b", "c", "d"), (4, 32, 128, 16)
+    ix_w, dims_w = ("a", "b", "n", "m"), (4, 32, 4, 4)
+    iy = ("n", "m", "c", "d")
+    x = (rng.standard_normal(dims_x) + 1j * rng.standard_normal(dims_x)) \
+        .astype(np.complex64)
+    w = (rng.standard_normal(dims_w) + 1j * rng.standard_normal(dims_w)) \
+        .astype(np.complex64)
+    lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+    want = np.einsum(x, [lab[l] for l in ix_x], w, [lab[l] for l in ix_w],
+                     [lab[l] for l in iy])
+    plan = plan_lane_step(ix_x, ix_w, iy, dims_x, dims_w,
+                          lane_count=2, orient="head")
+    assert plan is not None
+    field = make_field(np.complex64, "high", "split")
+    got = apply_lane_step(field, field.wrap(x.reshape(-1)),
+                          field.wrap(w.reshape(-1)), plan, interpret=True)
+    got = field.unwrap(got).reshape([dict(zip(ix_x, dims_x),
+                                          **dict(zip(ix_w, dims_w)))[l]
+                                     for l in iy])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
