@@ -11,10 +11,13 @@ Requires the reference data files (circuit + ground-truth amplitudes); set
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -23,11 +26,14 @@ def main():
                    default="/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py")
     p.add_argument("--amplitudes",
                    default="/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt")
-    p.add_argument("--plan", default="plans/n30_m14_sparse_sc24.json")
+    p.add_argument("--plan",
+                   default=os.path.join(REPO, "plans/n30_m14_sparse_sc24.json"))
     p.add_argument("--bitstrings", type=int, default=1000)
     p.add_argument("--sc-target", type=float, default=24.0)
     args = p.parse_args()
 
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
     from artensor_tpu import plan_io
     from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
     from artensor_tpu.runtime.metrics import ContractionReport
