@@ -102,6 +102,8 @@ class GKPlan:
     fm: int = 128        # minor lane width of the f split (128, 64 or 32)
     gb_gid: object = None  # grid run blocked by gt (short-F amortization)
     gt: int = 1
+    pre: object = None   # Reorder applied to X before the kernel (the
+                         # pre-reordered GK form for no-f-run steps)
 
 
 def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
@@ -387,6 +389,78 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
                   tuple(y_axes), block, K, H, tuple(c_dims),
                   idx.astype(np.int32), use_mxu, dims_y, flops, est_s,
                   qb, fm, gb_gid, gt)
+
+
+def plan_gk_step_pre(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
+    """GK plan for a step whose STORED X order is kernel-hostile (contract
+    legs inside the minor run -> 'no-f-run'): permute X once with a cheap
+    run-collapsed transpose into a GK-friendly order built FROM iy, then
+    run the kernel with iy UNCHANGED — zero downstream layout effects.
+
+    The permuted order is  [X free legs in iy order] + [contract legs] +
+    [trailing iy-suffix of X free legs] — by construction the f run is an
+    iy-contiguous suffix and every grid run is iy-contiguous, so
+    plan_gk_step accepts it whenever the shape caps allow.  The explicit
+    pre-reorder costs one extra read+write pass over X (measured XLA copy
+    rate ~286 GB/s); the XLA fallback it replaces pays MORE relayout than
+    that (dot layout normalization + 4-dot combine copies, measured ~2.2x
+    its fused-minimum traffic — docs/BENCH_NOTES.md round-3 profile), so
+    the est gate usually clears."""
+    if pin:
+        return None
+    iy = tuple(iy)
+    big_is_i = _prod(dims_i) >= _prod(dims_j)
+    ix_x = tuple(ix_i if big_is_i else ix_j)
+    dims_x = tuple(dims_i if big_is_i else dims_j)
+    ix_w = tuple(ix_j if big_is_i else ix_i)
+    set_w, set_y, set_x = set(ix_w), set(iy), set(ix_x)
+    if len(set_x) != len(ix_x):
+        return None
+    dim_of = {l: int(d) for l, d in zip(ix_x, dims_x)}
+    contract = [l for l in ix_x if l in set_w and l not in set_y]
+    frees = {l for l in ix_x if l in set_y}
+    if not contract or not frees:
+        return None
+    # trailing f run: the longest iy-suffix of X free legs, trimmed from
+    # the front until its product is lane-complete (fm = 128)
+    tail = []
+    for l in reversed(iy):
+        if l not in frees:
+            break
+        tail.append(l)
+    tail.reverse()
+    F = _prod(dim_of[l] for l in tail)
+    while tail and F % 128:
+        F //= dim_of[tail[0]]
+        tail.pop(0)
+    if not tail:
+        return None
+    tset = set(tail)
+    gpart = [l for l in iy if l in frees and l not in tset]
+    px = tuple(gpart) + tuple(contract) + tuple(tail)
+    if px == ix_x:
+        return None         # the in-place planner already covers this form
+    dims_px = tuple(dim_of[l] for l in px)
+    if big_is_i:
+        plan = plan_gk_step(px, ix_w, iy, dims_px, dims_j)
+    else:
+        plan = plan_gk_step(ix_w, px, iy, dims_i, dims_px)
+    if plan is None:
+        return None
+    from .lowering import plan_reorder
+
+    x_elems = _prod(dims_x)
+    pos = {l: k for k, l in enumerate(ix_x)}
+    r = plan_reorder(dims_x, tuple(pos[l] for l in px), (x_elems,))
+    if r.mode != "transpose":
+        return None
+    pre_cost = 2 * 4 * 2 * x_elems / HBM_BYTES_PER_S
+    est_xla = xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j)
+    if plan.est_s + pre_cost > est_xla * SLACK:
+        return _rej("pre-not-better")
+    from dataclasses import replace
+
+    return replace(plan, pre=r, est_s=plan.est_s + pre_cost)
 
 
 F_PROTECT = 1 << 10      # min tail-run elements kept minor before a
@@ -760,6 +834,9 @@ def apply_gk_step(field, x, y, plan, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xv, wv = (x, y) if plan.w_is_j else (y, x)
+    if plan.pre is not None:
+        from .lowering import apply_reorder
+        xv = apply_reorder(field, xv, plan.pre)
     from .lanes import kernel_precision
     precision = kernel_precision(field)
 

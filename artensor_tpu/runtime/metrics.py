@@ -77,6 +77,111 @@ def scheme_roofline_seconds(steps, muladds_per_s=None, bytes_per_s=None,
     return total
 
 
+def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
+    """Per-slice peak HBM live set of a sparse/dense scheme, INCLUDING the
+    aligned-gather and cross-merge temporaries that the planner-tree mc is
+    blind to (a round-3 portfolio candidate modeled 10 GB peak-mc but
+    needed 57 GB once its gather temps materialized — docs/BENCH_NOTES.md).
+
+    Tracks buffer sizes step by step: a buffer's initial size is its size
+    at first use; a step's transient extra is the gathered operand copies
+    plus all chunk outputs (live until the concat), or the pre-post_select
+    output for cross merges."""
+    from .lowering import _prod
+
+    unit = bytes_per_elem * split_components
+
+    def in_sizes(low):
+        return _prod(low.shape_l), _prod(low.shape_r)
+
+    # first-use size of every buffer (live from the start)
+    size = {}
+    for s in steps:
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        if not lows:
+            continue
+        if s.gathers is not None:
+            # chunk operands are gathered rows OF the source buffers; the
+            # source sizes are bounded by the total gathered rows
+            tot_i = sum(_prod(low.shape_l) for low in lows)
+            tot_j = sum(_prod(low.shape_r) for low in lows)
+            size.setdefault(s.i, tot_i)
+            size.setdefault(s.j, tot_j)
+        else:
+            a, b = in_sizes(lows[0])
+            swapped = getattr(lows[0], "swapped", False)
+            size.setdefault(s.i, b if swapped else a)
+            size.setdefault(s.j, a if swapped else b)
+    peak = sum(size.values())
+    live = dict(size)
+    for s in steps:
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        if not lows:
+            continue
+        out = sum(_prod(low.phys_y) for low in lows)
+        extra = 0
+        if s.gathers is not None:
+            # gathered operand copies of the current chunk + every chunk
+            # output held until the final concat
+            extra = max(_prod(low.shape_l) + _prod(low.shape_r)
+                        for low in lows) + out
+        elif s.post_select is not None:
+            extra = out      # pre-selection output + selected copy
+        peak = max(peak, sum(live.values()) + out + extra)
+        live[s.i] = out
+        live[s.j] = 0
+    return peak * unit
+
+
+# Measured round 3 (trace profile, docs/BENCH_NOTES.md): XLA fallback
+# steps run at ~2.2x their fused-minimum traffic — the dot's operand
+# layout-normalization copies and the 4-dot re/im combine passes are
+# extra full passes over the data that the lowered-step model cannot see.
+XLA_RELAYOUT_FACTOR = 2.2
+
+
+def scheme_wall_estimate(steps, k_sliced,
+                         xla_traffic_factor=XLA_RELAYOUT_FACTOR,
+                         hbm_budget_bytes=None):
+    """Calibrated end-to-end wall-clock estimate for ranking plan
+    portfolios: per-slice step costs (kernel est_s where planned; XLA
+    fallback traffic inflated by the measured relayout factor) plus the
+    per-step fixed overhead amortized by the slice-vmap width the TEMP-
+    AWARE peak live set allows.  Returns (seconds, width, peak_bytes)."""
+    from ..planner.cost import (HBM_BUDGET_BYTES, MXU_K_FULL,
+                                STEP_OVERHEAD_W1_S, TPU_HBM_BYTES_PER_S)
+    from .lowering import _prod
+
+    budget = hbm_budget_bytes or HBM_BUDGET_BYTES
+    flops_rate = 28.6e12 / 2.0
+    per_slice = 0.0
+    n_steps = 0
+    for s in steps:
+        n_steps += 1
+        if getattr(s, "lane", None) is not None:
+            per_slice += s.lane.est_s
+            continue
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        for low in lows:
+            (cx, _cy), (bx, _by) = low.dnums
+            k = _prod(low.shape_l[d] for d in cx)
+            rate = flops_rate * min(1.0, k / MXU_K_FULL)
+            per_slice += max(
+                step_flops(low) / rate,
+                step_traffic_bytes(low) * xla_traffic_factor
+                / TPU_HBM_BYTES_PER_S)
+    peak = scheme_peak_live_bytes(steps)
+    width = max(1, min(256, int(budget // max(peak, 1))))
+    width = 1 << (width.bit_length() - 1)           # power of two
+    n_slices = 2 ** k_sliced
+    width = min(width, n_slices)
+    total = n_slices * (per_slice + n_steps * STEP_OVERHEAD_W1_S / width)
+    return total, width, peak
+
+
 def reorder_census(steps):
     census = {"none": 0, "transpose": 0, "gather": 0}
     for s in steps:

@@ -423,6 +423,14 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                 if lane is None:
                     lane = plan_pair_step(ix_i, ix_j, iy, dims_i, dims_j)
                     note += f"/pair:{lanes.LAST_REJECT}"
+                if lane is None:
+                    # no-f-run residuals: permute X once (explicit cheap
+                    # transpose, iy unchanged) into a GK-friendly order
+                    from .gatherk import plan_gk_step_pre
+                    gatherk.LAST_REJECT = None
+                    lane = plan_gk_step_pre(ix_i, ix_j, iy, dims_i, dims_j)
+                    note += f"/pregk:{gatherk.LAST_REJECT or 'no-form'}" \
+                        if lane is None else "/pregk:ok"
                 if (lane is None and reshape is None
                         and max(_prod_dims(dim_of, bond_i)
                                 * (len(rep_i) if batched_i else 1),
