@@ -415,3 +415,28 @@ def test_segmented_slice_batch_and_sharded(sparse_scheme):
         staged, steps, axes, k, (len(bits_sorted),), field,
         apply_sparse_step, devs, segment_steps=9, slice_batch=2)
     assert np.abs(mono - field.unwrap(sharded)).max() < 1e-12
+
+
+def test_scheme_wall_estimate_and_peak(sparse_scheme):
+    """scheme_peak_live_bytes >= the largest single buffer; the wall
+    estimate is positive, finite, and its width respects the HBM budget
+    (width halves when the budget does)."""
+    from artensor_tpu.runtime.lowering import _prod
+    from artensor_tpu.runtime.metrics import (
+        scheme_peak_live_bytes, scheme_wall_estimate)
+
+    _, steps, _, k, _, _ = sparse_scheme
+    peak = scheme_peak_live_bytes(steps)
+    biggest = 0
+    for s in steps:
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        for low in lows:
+            biggest = max(biggest, _prod(low.phys_y))
+    assert peak >= biggest * 4.0 * 2
+    secs, width, p = scheme_wall_estimate(steps, k)
+    assert np.isfinite(secs) and secs > 0 and p == peak
+    assert width >= 1 and width & (width - 1) == 0     # power of two
+    secs2, width2, _ = scheme_wall_estimate(
+        steps, k, hbm_budget_bytes=max(int(peak), 1))
+    assert width2 <= width and secs2 >= secs

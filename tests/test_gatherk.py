@@ -274,3 +274,51 @@ def test_grid_blocking_short_f():
         out = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(
             want.shape)
         np.testing.assert_allclose(out, want, rtol=2e-4, atol=1e-5)
+
+
+def test_pre_permuted_no_f_run():
+    """A stored X order with contract legs in the minor run ('no-f-run')
+    is rejected in place but accepted by plan_gk_step_pre: one cheap
+    run-collapsed transpose of X into an iy-derived GK order, iy itself
+    unchanged.  Oracle vs einsum on the STORED order."""
+    from artensor_tpu.runtime.gatherk import plan_gk_step_pre
+
+    ix_x = ("g1", "f1", "c1", "c2")     # contract legs trail: minor run
+    dims_x = (4, 256, 2, 2)
+    ix_w = ("c1", "c2", "n1")
+    dims_w = (2, 2, 2)
+    iy = ("g1", "n1", "f1")             # trailing X-free suffix f1 = 256
+
+    assert _plan(ix_x, ix_w, iy, dims_x, dims_w) is None  # in-place: no
+
+    old, olds = gk.MIN_X_ELEMS, gk.SLACK
+    gk.MIN_X_ELEMS, gk.SLACK = 1, 1e9
+    try:
+        plan = plan_gk_step_pre(ix_x, ix_w, iy, dims_x, dims_w)
+    finally:
+        gk.MIN_X_ELEMS, gk.SLACK = old, olds
+    assert plan is not None and plan.pre is not None
+    assert plan.pre.mode == "transpose"
+    _run_and_check(ix_x, ix_w, iy, dims_x, dims_w, plan)
+
+
+def test_pre_permuted_w_side():
+    """plan_gk_step_pre picks the bigger operand as X regardless of
+    argument side; multi-leg iy tail runs fold into the f run."""
+    from artensor_tpu.runtime.gatherk import plan_gk_step_pre
+
+    # X arrives as the SECOND operand; tail run (f2, f1) = (3, 128).
+    ix_w = ("c1", "n1")
+    dims_w = (4, 2)
+    ix_x = ("g1", "f1", "c1", "f2")
+    dims_x = (8, 128, 4, 3)
+    iy = ("g1", "n1", "f2", "f1")
+
+    old, olds = gk.MIN_X_ELEMS, gk.SLACK
+    gk.MIN_X_ELEMS, gk.SLACK = 1, 1e9
+    try:
+        plan = plan_gk_step_pre(ix_w, ix_x, iy, dims_w, dims_x)
+    finally:
+        gk.MIN_X_ELEMS, gk.SLACK = old, olds
+    assert plan is not None and plan.pre is not None
+    _run_and_check(ix_w, ix_x, iy, dims_w, dims_x, plan)
