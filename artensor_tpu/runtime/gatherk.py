@@ -104,6 +104,10 @@ class GKPlan:
     gt: int = 1
     pre: object = None   # Reorder applied to X before the kernel (the
                          # pre-reordered GK form for no-f-run steps)
+    px: object = None    # X leg order the pre reorder produces (labels);
+                         # the scheme compiler uses it to ask X's PRODUCER
+                         # to emit this order directly (pass 2), making
+                         # the explicit pre transpose unnecessary
 
 
 def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
@@ -433,10 +437,25 @@ def plan_gk_step_pre(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     while tail and F % 128:
         F //= dim_of[tail[0]]
         tail.pop(0)
+    # cap the tail at the smallest suffix with F >= the kernel's block
+    # budget: beyond that, extra tail legs buy no block size but DO
+    # over-constrain px (when px becomes a producer-side output-order
+    # demand, a long tail swallows legs the producer needs free to keep
+    # its own H/f grouping — measured as producer kernel losses)
+    while (len(tail) > 1 and F // dim_of[tail[0]] >= BLOCK_F
+            and (F // dim_of[tail[0]]) % 128 == 0):
+        F //= dim_of[tail[0]]
+        tail.pop(0)
     if not tail:
         return None
     tset = set(tail)
-    gpart = [l for l in iy if l in frees and l not in tset]
+    # gpart keeps X's STORED relative order: this kernel splits grid runs
+    # freely (iy-adjacency merging), so the consumer gains nothing from an
+    # iy-imposed order — while the minimal perturbation (1) collapses into
+    # fewer, larger transpose runs and (2) preserves the PRODUCER's own
+    # H/g grouping when the scheme compiler turns px into a producer-side
+    # output-order override (see contraction_scheme_sparse pass 2)
+    gpart = [l for l in ix_x if l in frees and l not in tset]
     px = tuple(gpart) + tuple(contract) + tuple(tail)
     if px == ix_x:
         return None         # the in-place planner already covers this form
@@ -454,13 +473,17 @@ def plan_gk_step_pre(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     r = plan_reorder(dims_x, tuple(pos[l] for l in px), (x_elems,))
     if r.mode != "transpose":
         return None
-    pre_cost = 2 * 4 * 2 * x_elems / HBM_BYTES_PER_S
+    # measured (docs/BENCH_NOTES.md round-3 profile): XLA lowers the
+    # explicit transpose as TWO full copies — a retile+layout copy off the
+    # producer's T(1,128) Pallas output plus a normalize copy at this
+    # kernel's input reshape — so charge 2 read+write passes, not 1
+    pre_cost = 2 * (2 * 4 * 2 * x_elems) / HBM_BYTES_PER_S
     est_xla = xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j)
     if plan.est_s + pre_cost > est_xla * SLACK:
         return _rej("pre-not-better")
     from dataclasses import replace
 
-    return replace(plan, pre=r, est_s=plan.est_s + pre_cost)
+    return replace(plan, pre=r, px=px, est_s=plan.est_s + pre_cost)
 
 
 F_PROTECT = 1 << 10      # min tail-run elements kept minor before a

@@ -212,7 +212,8 @@ def _time_sorted_output(bond_i, bond_j, new_bonds, time_of, big_is_i,
 
 
 def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
-                              lane_schedule=True, _hints=None):
+                              lane_schedule=True, _hints=None,
+                              negotiate=True):
     # _hints is accepted for backward compatibility and ignored: the
     # round-2 hint fixpoint is superseded by time-ordered layouts (below)
     """Compile the big-batch scheme.
@@ -228,7 +229,133 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
         log2 memory budget steering cross-vs-aligned and chunking decisions.
 
     Returns (steps, output_bonds, bitstrings_sorted).
+
+    Two-pass producer-order negotiation: pass 1 compiles with time-ordered
+    layouts; wherever the pre-permuted gather-K form fired (an explicit
+    transpose of X before the kernel), pass 2 asks X's PRODUCER to emit
+    that order directly — the consumer then plans the kernel in place and
+    the transpose (measured as TWO full HBM passes: XLA retile+layout
+    copy plus a normalize copy, docs/BENCH_NOTES.md round-3 profile)
+    disappears.  The cheaper scheme by the calibrated wall estimate wins.
     """
+    steps1, ob1, bits1, requests = _compile_sparse(
+        ctree, bitstrings, sc_target, lane_schedule, None)
+    if not requests or not lane_schedule or not negotiate:
+        return steps1, ob1, bits1
+    # Bounded best-first search over override SETS.  Two kinds of moves:
+    # a strict win (the consumer's pre-transpose disappears and nobody
+    # pays) and a WASH (the transpose relocates onto the producer, est
+    # unchanged) — washes are explored because the relocated pre issues a
+    # NEW request one link up the chain, and the chain often terminates
+    # at a producer flexible enough to absorb the order for free (the
+    # whole chain of transposes then collapses to the absorption point).
+    # Hard guard everywhere: no step that had a kernel in pass 1 may
+    # lose it — the est model undervalues real kernel speedups (measured:
+    # trading 2 hot kernels for 5 removed pre-transposes ran
+    # 1.45 -> 1.55 s).  Only a strictly-better final state is committed.
+    from .metrics import scheme_wall_estimate
+    est1 = scheme_wall_estimate(steps1, 0)[0]
+    eps = est1 * 1e-6
+    kern1 = [s.lane is not None for s in steps1]
+    best = (steps1, ob1, bits1)
+    best_est = est1
+    seen = {frozenset()}
+    frontier = [(est1, 0, {}, requests)]
+    trials = 0
+    while frontier and trials < 40:
+        frontier.sort(key=lambda f: (f[0], len(f[2])))
+        est, _, acc, pend = frontier.pop(0)
+        for t_req, cands in pend.items():
+            if t_req in acc:
+                continue
+            for want in cands:
+                trial = dict(acc)
+                trial[t_req] = want
+                key = frozenset(trial.items())
+                if key in seen:
+                    continue
+                seen.add(key)
+                trials += 1
+                steps2, ob2, bits2, req2 = _compile_sparse(
+                    ctree, bitstrings, sc_target, lane_schedule, trial)
+                if any(k and s.lane is None
+                       for k, s in zip(kern1, steps2)):
+                    continue
+                est2 = scheme_wall_estimate(steps2, 0)[0]
+                if est2 > est + eps:
+                    continue
+                merged = dict(pend)
+                merged.update(req2)
+                frontier.append((est2, trials, trial, merged))
+                if est2 < best_est - eps:
+                    best = (steps2, ob2, bits2)
+                    best_est = est2
+                if est2 < est - eps:
+                    break       # strict win at this node: stop scanning
+                                # weaker candidates (washes stay queued)
+    return best
+
+
+_BATCH_LABELS = {"batch", "batch_i", "batch_j"}
+
+
+def _layout_request_candidates(ix_x0, ix_w0, iy0, dim_of, h_block,
+                               px_named):
+    """Candidate output orders to request from X's producer, friendliest
+    first.
+
+    The minimal-hoist candidates keep X's STORED order and move only the
+    consumer-contract legs found inside the trailing suffix window (the
+    part the consumer needs as a lane-complete free run) to just before
+    it — so an in-place GK producer keeps its f run (shrunk from the
+    front, which its planner does anyway), its grid legs (order-free) and
+    its H block (``h_block``; the insertion point steps before it rather
+    than split it).  The full pre-permuted form ``px_named`` (every
+    contract leg hoisted, tail in consumer-iy order) goes last: it is
+    consumer-optimal but producer-hostile (measured: producers lose their
+    kernels to h-contig / no-f-run when it is demanded verbatim)."""
+    x_named = [b for b in ix_x0 if b not in _BATCH_LABELS]
+    if len(x_named) != len(ix_x0) - (1 if ix_x0 and ix_x0[0]
+                                     in _BATCH_LABELS else 0):
+        return ()               # batch label in a non-leading slot
+    w_set = set(ix_w0)
+    out_set = set(iy0)
+    cset = {b for b in x_named if b in w_set and b not in out_set}
+    hset = set(h_block)
+    cands = []
+    for target in (1 << 15, 1 << 12):
+        F = 1
+        k = len(x_named)
+        while k > 0 and F < target:
+            l = x_named[k - 1]
+            if l not in cset:
+                F *= dim_of.get(l, 2)
+            k -= 1
+        hoisted = [l for l in x_named[k:] if l in cset]
+        if not hoisted or F < 128:
+            continue
+        # never split the producer's H block: if the window boundary
+        # lands inside it, insert the hoisted legs before the whole block
+        p = k
+        hpos = [n for n, l in enumerate(x_named) if l in hset]
+        if hpos and hpos[0] < k <= hpos[-1]:
+            p = hpos[0]
+        hset_h = set(hoisted)
+        cand = (tuple(x_named[:p]) + tuple(hoisted)
+                + tuple(l for l in x_named[p:] if l not in hset_h))
+        if len(cand) == len(x_named) and cand != tuple(x_named) \
+                and cand not in cands:
+            cands.append(cand)
+    if px_named and px_named[0] in _BATCH_LABELS:
+        px_named = px_named[1:]
+    px = tuple(px_named)
+    if px and not any(b in _BATCH_LABELS for b in px) and px not in cands:
+        cands.append(px)
+    return tuple(cands)
+
+
+def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
+                    _overrides):
     order = ctree.to_order_dfs()
     # pod-scale schemes keep reference-compatible residual orders: the
     # scheduler's order choices measurably crash this environment's remote
@@ -264,6 +391,13 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
         if lane_schedule else {}
     steps = []
     last = None
+    produced_by = {}     # tensor id -> index of the step that wrote it
+    fresh_of = {}        # tensor id -> legs its producing step took from
+                         # its SMALL (W) operand — the producer kernel's
+                         # H block, which any layout request must keep
+                         # contiguous
+    requests = {}        # producer step index -> tuple of candidate
+                         # output bond orders (producer-friendliest first)
     for t, (i, j) in enumerate(order):
         bond_i, bond_j = bonds[i], bonds[j]
         common = sorted(set(bond_i) & set(bond_j), key=str)
@@ -309,6 +443,9 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                            or (not q_i and not q_j
                                and min(size_i, size_j) > HK_CAP)),
                 fresh_first=bool(q_i and q_j))
+        if _overrides is not None and t in _overrides \
+                and set(_overrides[t]) == set(new_bonds):
+            new_bonds = list(_overrides[t])
         bonds[i], bonds[j] = new_bonds, []
         merged_q = sorted(q_i + q_j)
         gathers = reshape = None
@@ -393,6 +530,7 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                 dims_i = dims_j = None  # chunked: dims vary per chunk
 
         iy0 = tuple(iy)
+        ix_i0, ix_j0 = tuple(ix_i), tuple(ix_j)
         ix_i, ix_j, iy = _relabel(ix_i, ix_j, iy)
         if gathers is not None:
             lowered = None
@@ -472,10 +610,33 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                             note += "/retail:ok"
                     finally:
                         lanes.ORIENTATIONS = old_or
+        from .gatherk import GKPlan as _GKPlan
+        if (isinstance(lane, _GKPlan)
+                and lane.pre is not None and lane.px is not None
+                and (_overrides is None
+                     or produced_by.get(i if lane.w_is_j else j)
+                     not in _overrides)):
+            # ask X's producer to emit a GK-friendly order directly
+            x_tid = i if lane.w_is_j else j
+            ix_x0 = ix_i0 if lane.w_is_j else ix_j0
+            orig_of_x = dict(zip(ix_i if lane.w_is_j else ix_j, ix_x0))
+            prod = produced_by.get(x_tid)
+            if prod is not None and prod not in requests:
+                cands = _layout_request_candidates(
+                    ix_x0, ix_j0 if lane.w_is_j else ix_i0, iy0,
+                    dim_of, fresh_of.get(x_tid, ()),
+                    [orig_of_x[l] for l in lane.px])
+                if cands:
+                    requests[prod] = cands
         steps.append(SparseStep(i, j, ix_i, ix_j, iy,
                                 gathers, reshape, post_select,
                                 lowered, lowered_chunks, lane, note))
         info[i] = (merged_q, rep)
+        produced_by[i] = t
+        small_j = _prod_dims(dim_of, bond_i) >= _prod_dims(dim_of, bond_j)
+        sm, bg = (bond_j, bond_i) if small_j else (bond_i, bond_j)
+        fresh_of[i] = tuple(b for b in new_bonds
+                            if b in set(sm) and b not in set(bg))
         last = i
 
     out_reps = info[last][1]
@@ -485,7 +646,7 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
         from .lanes import prune_lane_plans
 
         prune_lane_plans(steps)
-    return steps, bonds[last], bitstrings_sorted
+    return steps, bonds[last], bitstrings_sorted, requests
 
 
 def apply_sparse_step(field, x, y, s):

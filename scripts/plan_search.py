@@ -65,27 +65,37 @@ def main():
                 sc_target=sc, trials=8, iters=iters,
                 betas=list(np.linspace(3.0, 21.0, 61)),
                 start_seed=1000 * seed + 1, alpha=0.0, parallel=False)
-            steps, _, _ = contraction_scheme_sparse(ctree, bits, sc_target=sc)
+            # rank by the CALIBRATED wall estimate (kernel est_s +
+            # relayout-inflated XLA fallback + per-step overhead amortized
+            # by the temp-aware width) — the plain roofline ignores all
+            # three and prefers big-slice plans that cannot batch wide.
+            # Negotiation off in the sweep (too slow per candidate); the
+            # saved finalists recompile WITH it at bench time.
+            steps, _, _ = contraction_scheme_sparse(
+                ctree, bits, sc_target=sc, negotiate=False)
+            est, width, peak = mt.scheme_wall_estimate(steps, len(sliced))
             rf = (2 ** len(sliced)) * mt.scheme_roofline_seconds(steps)
             n_lane = sum(1 for s in steps if s.lane is not None)
-            print(f"sc{sc} seed{seed}: k={len(sliced)} roofline={rf:.2f}s "
+            print(f"sc{sc} seed{seed}: k={len(sliced)} est={est:.2f}s "
+                  f"(roofline={rf:.2f}s w={width} peak={peak/1e9:.1f}GB) "
                   f"lane={n_lane}/{len(steps)} ({time.time()-t0:.0f}s)",
                   flush=True)
             cur = best_per_sc.get(sc)
-            if cur is None or rf < cur[0]:
-                best_per_sc[sc] = (rf, ctree)
+            if cur is None or est < cur[0]:
+                best_per_sc[sc] = (est, rf, ctree)
     print("---- best per sc_target:")
     overall = None
-    for sc, (rf, ctree) in sorted(best_per_sc.items()):
+    for sc, (est, rf, ctree) in sorted(best_per_sc.items()):
         k = len(ctree.tn.sliced)
-        print(f"sc{sc}: roofline={rf:.2f}s/slice-set slices=2^{k}")
+        print(f"sc{sc}: est={est:.2f}s roofline={rf:.2f}s slices=2^{k}")
         path = f"plans/{which}_sparse_sc{sc}_r2.json" if which != "n30" \
             else f"plans/n30_m14_sparse_sc{sc}_r2.json"
         plan_io.save_plan(path, ctree,
-                          meta={"rank": "k-aware-roofline",
+                          meta={"rank": "wall-estimate",
+                                "est_s": round(est, 3),
                                 "roofline_s": round(rf, 3)})
-        if overall is None or rf < overall[0]:
-            overall = (rf, path)
+        if overall is None or est < overall[0]:
+            overall = (est, path)
     print(f"best overall: {overall[1]} ({overall[0]:.2f}s)")
 
 
