@@ -158,6 +158,25 @@ class LanePlan:
     est_s: float         # roofline estimate (ranks candidates)
 
 
+VMEM_WINDOW_BUDGET = 64 * 1024 * 1024   # scoped VMEM is 128MB; leave
+                                        # headroom for register spills
+                                        # (58MB observed) + output windows
+
+
+def _padded_elems(dims):
+    """Elements a VMEM window really occupies: minor dim padded to the
+    128-lane tile, second-minor to the 8-sublane tile."""
+    dims = [int(d) for d in dims if d]
+    if not dims:
+        return 1
+    p = 1
+    for d in dims[:-2]:
+        p *= d
+    if len(dims) >= 2:
+        p *= -(-dims[-2] // 8) * 8
+    return p * (-(-dims[-1] // 128) * 128)
+
+
 LAST_REJECT = None
 
 
@@ -421,6 +440,21 @@ def plan_lane_step(ix_i, ix_j, iy, dims_i, dims_j, lane_count=None, pin=0,
     view_y = tuple(H if kind == "H" else (F if kind == "f" else dim_of[l])
                    for kind, l in y_axes)
     dims_y = tuple(dim_of[l] for l in iy)
+    # Mosaic-padded VMEM demand of the block windows: VMEM tiles are
+    # (8, 128) in (second-minor, minor), so a small trailing dim (e.g. a
+    # dim-2 combo axis stored minor) inflates the window 64x — measured
+    # as a 318MB-scoped-VMEM compile abort on the sc25 plan sweep
+    # (docs/BENCH_NOTES.md round-3).  Windows are double-buffered and
+    # re/im are separate operands.
+    xwin = [view_dims[k] if kind in ("c", "L") else block
+            for k, (kind, l) in enumerate(x_axes) if kind != "g"]
+    ywin = [H if kind == "H" else block
+            for kind, l in y_axes if kind != "g"]
+    wwin = list(idx.shape)
+    vmem = 4 * 2 * 2 * (_padded_elems(xwin) + _padded_elems(ywin)
+                        + _padded_elems(wwin))
+    if vmem > VMEM_WINDOW_BUDGET:
+        return _rej("vmem")
     flops = 4 * 2 * rows_total * L * H * n_combos
     return LanePlan(w_is_j, orient, view_dims, combo_axes, tuple(x_axes),
                     tuple(y_axes), block, L, H, n_combos,

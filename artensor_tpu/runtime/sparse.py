@@ -610,6 +610,24 @@ def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
                             note += "/retail:ok"
                     finally:
                         lanes.ORIENTATIONS = old_or
+                if (lane is None and "/pair:pair-iy" in note
+                        and t not in (_overrides or {})
+                        and t not in requests):
+                    # the step's OWN output order blocks the both-big pair
+                    # kernel (iy interleaves the two operands' rows):
+                    # request grouped orders for THIS step — within each
+                    # group the time-sorted order is kept, so downstream
+                    # consumers see at most a two-run relayout — and let
+                    # the negotiation driver judge the global estimate
+                    set_bi = set(bond_i)
+                    gi_ = [l for l in new_bonds if l in set_bi]
+                    gj_ = [l for l in new_bonds if l not in set_bi]
+                    if gi_ and gj_:
+                        cands = tuple(
+                            c for c in ((*gi_, *gj_), (*gj_, *gi_))
+                            if c != tuple(new_bonds))
+                        if cands:
+                            requests[t] = cands
         from .gatherk import GKPlan as _GKPlan
         if (isinstance(lane, _GKPlan)
                 and lane.pre is not None and lane.px is not None

@@ -233,3 +233,39 @@ def test_lane_kernel_with_high_precision_field():
                                           **dict(zip(ix_w, dims_w)))[l]
                                      for l in iy])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_vmem_window_gate_rejects_small_minor_combo():
+    """A combo (row-contract) axis stored MINOR inflates the Mosaic VMEM
+    window 64x (dim 2 padded to the 128-lane tile) — the sc25 plan sweep
+    aborted compile at 318MB scoped VMEM on exactly this form.  The
+    planner must reject it; the same step with the combo leg stored
+    before the f run fits and plans."""
+    from artensor_tpu.runtime import lanes
+
+    lane_legs = [f"a{k}" for k in range(7)]   # L=128, contract
+    f_legs = [f"f{k}" for k in range(14)]     # F=16384
+    h_legs = [f"h{k}" for k in range(5)]      # H=32
+    ix_w = tuple(lane_legs + ["c0"] + h_legs)
+    iy = tuple(h_legs + f_legs)
+    dims_w = (2,) * len(ix_w)
+
+    ix_x = tuple(lane_legs + f_legs + ["c0"])     # combo minor: reject
+    p = plan_lane_step(ix_x, ix_w, iy, (2,) * len(ix_x), dims_w)
+    assert p is None
+    assert lanes.LAST_REJECT == "vmem"
+
+    ix_x2 = tuple(lane_legs + ["c0"] + f_legs)    # combo early: plans
+    p2 = plan_lane_step(ix_x2, ix_w, iy, (2,) * len(ix_x2), dims_w)
+    assert p2 is not None
+    assert p2.block >= 128
+
+
+def test_padded_elems_tile_rounding():
+    from artensor_tpu.runtime.lanes import _padded_elems
+
+    assert _padded_elems([64, 2048, 2]) == 64 * 2048 * 128
+    assert _padded_elems([128, 2, 1024]) == 128 * 8 * 1024
+    assert _padded_elems([256]) == 256
+    assert _padded_elems([100]) == 128
+    assert _padded_elems([]) == 1

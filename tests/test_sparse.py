@@ -172,3 +172,56 @@ def test_scheme_with_gatherk_kernels_end_to_end(monkeypatch):
     want = c.state_vec().reshape(-1)
     for a, bs in zip(amps, bits_sorted):
         assert abs(a - want[int(bs, 2)]) < 2e-5, (bs, a, want[int(bs, 2)])
+
+
+PLAN_SC22 = os.path.join(os.path.dirname(__file__), "..",
+                         "plans", "n30_m14_sparse_sc22.json")
+
+
+@pytest.mark.skipif(not os.path.exists(PLAN_SC22), reason="plan absent")
+def test_negotiation_invariants_on_headline_plan():
+    """Producer-order negotiation must never lose a pass-1 kernel, never
+    worsen the wall estimate, and must leave the contraction semantics
+    (step pairing, output bond set, bitstring batch) untouched."""
+    from artensor_tpu import plan_io
+    from artensor_tpu.runtime import metrics as mt
+    from artensor_tpu.runtime.sparse import (_compile_sparse,
+                                             contraction_scheme_sparse)
+
+    order, sliced, ctree = plan_io.load_plan(PLAN_SC22)
+    bits = [np.binary_repr(i, 30) for i in range(256)]
+    steps1, ob1, bs1, req = _compile_sparse(ctree, bits, 22, True, None)
+    assert req, "headline plan should generate layout requests"
+    steps2, ob2, bs2 = contraction_scheme_sparse(ctree, bits, sc_target=22)
+    est1 = mt.scheme_wall_estimate(steps1, 0)[0]
+    est2 = mt.scheme_wall_estimate(steps2, 0)[0]
+    assert est2 <= est1 * (1 + 1e-9)
+    assert len(steps1) == len(steps2)
+    for a, b in zip(steps1, steps2):
+        assert (a.i, a.j) == (b.i, b.j)
+        if a.lane is not None:
+            assert b.lane is not None   # hard guard: no kernel lost
+    assert set(ob1) == set(ob2)
+    assert bs1 == bs2
+
+
+@pytest.mark.skipif(not os.path.exists(PLAN_SC22), reason="plan absent")
+def test_pair_iy_steps_request_grouped_output_order():
+    """A step rejected by the pair kernel solely on its own interleaved
+    output order must offer grouped (rows_i | rows_j) candidates to the
+    negotiation driver, each a permutation of the step's bonds."""
+    from artensor_tpu import plan_io
+    from artensor_tpu.runtime.sparse import _compile_sparse
+
+    order, sliced, ctree = plan_io.load_plan(PLAN_SC22)
+    bits = [np.binary_repr(i, 30) for i in range(256)]
+    steps, _, _, req = _compile_sparse(ctree, bits, 22, True, None)
+    pair_iy = [k for k, s in enumerate(steps)
+               if s.lane is None and s.note and "/pair:pair-iy" in s.note]
+    assert pair_iy, "plan is expected to have a pair-iy residual step"
+    for k in pair_iy:
+        assert k in req
+        for cand in req[k]:
+            steps_k, _, _, _ = _compile_sparse(ctree, bits, 22, True,
+                                               {k: cand})
+            assert len(steps_k) == len(steps)
