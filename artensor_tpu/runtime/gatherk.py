@@ -44,6 +44,10 @@ import numpy as np
 
 MIN_X_ELEMS = 1 << 16    # below this XLA overhead is irrelevant
 HK_CAP = 1 << 14         # max W elements (= H*K; w4 = 4*HK_CAP f32 in VMEM)
+GK_VMEM_BUDGET = 96 * 1024 * 1024   # scoped VMEM cap for the padded,
+                                    # double-buffered block windows (the
+                                    # pallas vmem_limit is 100MB; chip
+                                    # scoped VMEM is 128MB)
 H_CAP = 2048             # max fresh-leg product (out block sublanes)
 UNROLL_CAP = 512         # max H*K for the unrolled VPU loop
 GRID_CAP = 1 << 15       # max grid programs
@@ -328,6 +332,63 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     if any(a[0] == "g" for a in y_axes[-2:]):
         return _rej("g-in-tile-y")
 
+    # ---- VMEM fit: qb packing x grid blocking x block size ---------------
+    # Audit the REAL windows the kernel will allocate (double-buffered,
+    # re/im separate operands, padded to the (8,128) VMEM tile),
+    # INCLUDING the qb instances the slice-vmap packs per program and the
+    # gt sub-problems one program covers — the per-plain-block budget
+    # above misses both multipliers (measured: 161MB scoped VMEM compile
+    # abort on the sc25 plan at vmap width 8, qb x gt windows).  Shrink
+    # qb, then gt, then the block until the windows fit.
+    qb = 1
+    while 2 * qb * 2 * K <= 128 and 2 * qb * 2 * H <= 512:
+        qb *= 2
+
+    from .lanes import _padded_elems
+
+    def _win_bytes(qb_, gt_, block_):
+        bf_ = block_ // fm
+        xw = [qb_]
+        for k2, (kind, gid) in enumerate(x_axes):
+            if kind == "c":
+                xw.append(view_x[k2])
+            elif kind == "g":
+                if gid == gb_gid:
+                    xw.append(gt_)
+            elif gid == 0:          # ('f', 0)
+                xw.append(bf_)
+            else:                   # ('f', 1)
+                xw.append(fm)
+        yw = [qb_]
+        for a in y_axes:
+            if a[0] == "g":
+                if a[1] == gb_gid:
+                    yw.append(gt_)
+            elif a[0] == "H":
+                yw.append(H)
+            elif a == ("f", 0):
+                yw.append(bf_)
+            else:
+                yw.append(fm)
+        pad128 = lambda n: -(-n // 128) * 128
+        w_el = pad128(qb_ * 2 * H) * pad128(qb_ * 2 * K)
+        return (4 * 2 * 2 * (_padded_elems(xw) + _padded_elems(yw))
+                + 4 * 2 * w_el)
+
+    while _win_bytes(qb, gt, block) > GK_VMEM_BUDGET:
+        if qb > 1:
+            qb //= 2
+        elif gt > 1:
+            gt //= 2
+            if gt == 1:
+                gb_gid = None
+        elif block > fm and F % (block // 2) == 0 and block // 2 >= fm:
+            block //= 2
+        else:
+            return _rej("vmem")
+    if n_grid // gt * (F // block) > GRID_CAP:
+        return _rej("grid-cap")
+
     # ---- wk gather (host) ------------------------------------------------
     w_strides = {}
     s = 1
@@ -369,12 +430,10 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     traffic_s = 4 * 2 * (x_elems + y_elems + K * H) / HBM_BYTES_PER_S
     vpu_s = flops / VPU_FLOPS_PER_S
     pad = lambda n: -(-n // 128) * 128
-    # qb: under a slice-vmap, qb independent slice instances pack
-    # block-diagonally into one (qb*2H, qb*2K) dot — full MXU width at
-    # any K (see the custom_vmap batching rule in apply_gk_step)
-    qb = 1
-    while 2 * qb * 2 * K <= 128 and 2 * qb * 2 * H <= 512:
-        qb *= 2
+    # qb (computed in the VMEM fit above): under a slice-vmap, qb
+    # independent slice instances pack block-diagonally into one
+    # (qb*2H, qb*2K) dot — full MXU width at any K (see the custom_vmap
+    # batching rule in apply_gk_step)
     mxu_s = (2 * (x_elems // max(K, 1) // fm)
              * pad(qb * 2 * K) * pad(qb * 2 * H) * 128
              / (qb * MXU_FLOPS_PER_S))
@@ -874,7 +933,12 @@ def apply_gk_step(field, x, y, plan, interpret=None):
         qb = min(plan.qb, W & (-W))
         xb = in_batched[0]
         wb = in_batched[2]
-        if plan.use_mxu and qb > 1:
+        # qb == 1 (K >= 64) still goes through the batched call: it keeps
+        # the batch a leading GRID axis with per-instance windows, where
+        # the naive-vmap fallback folds the whole batch into the VMEM
+        # window (measured: 161MB scoped VMEM compile abort on the sc25
+        # plan at width 8 — f32[8,2,32,4,256,128] output windows)
+        if plan.use_mxu:
             if not xb:
                 xr = jnp.broadcast_to(xr_flat[None], (W,) + xr_flat.shape)
                 xi = jnp.broadcast_to(xi_flat[None], (W,) + xi_flat.shape)
@@ -902,12 +966,19 @@ def apply_gk_step(field, x, y, plan, interpret=None):
                                  xr.reshape(W, -1), xi.reshape(W, -1), bd,
                                  precision)
             return (yr, yi), (True, True)
-        # fallback: plain vmap (grid multiplies by W)
-        out = jax.vmap(
-            partial(_gk_unbatched, plan, interpret, precision=precision),
-            in_axes=tuple(0 if b else None for b in in_batched),
-            axis_size=W,
-        )(xr_flat, xi_flat, wr_flat, wi_flat)
+        # non-MXU (VPU-path) plans: naive pallas vmap folds the whole
+        # batch into the VMEM window (measured: 161MB scoped VMEM
+        # compile abort on the sc25 plan at width 8) — run the batch as
+        # a sequential lax.map instead, keeping per-instance windows.
+        # Unbatched operands are broadcast (W is small; an unbatched X
+        # is the rare slice-invariant case).
+        args = (xr_flat, xi_flat, wr_flat, wi_flat)
+        stacked = tuple(
+            a if b else jnp.broadcast_to(a[None], (W,) + a.shape)
+            for a, b in zip(args, in_batched))
+        out = jax.lax.map(
+            lambda t: _gk_unbatched(plan, interpret, *t,
+                                    precision=precision), stacked)
         return out, (True, True)
 
     yr, yi = gk(xv[0].reshape(-1), xv[1].reshape(-1),

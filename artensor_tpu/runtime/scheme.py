@@ -147,6 +147,15 @@ def contraction_scheme(ctree, lane_schedule=True):
             if lane is None:
                 lane = plan_pair_step(step.ix_i, step.ix_j, step.iy,
                                       step.dims_i, step.dims_j)
+            if lane is None:
+                # no-f-run residuals: one cheap run-collapsed transpose of
+                # X into a GK-friendly order (iy unchanged, so no
+                # downstream layout effects); est-gated against the XLA
+                # fallback inside the planner (see contraction_scheme_
+                # sparse, where this form took kernel coverage 32%->91%)
+                from .gatherk import plan_gk_step_pre
+                lane = plan_gk_step_pre(step.ix_i, step.ix_j, step.iy,
+                                        step.dims_i, step.dims_j)
             if lane is not None:
                 import dataclasses
                 step = dataclasses.replace(step, lane=lane)

@@ -42,6 +42,26 @@ class PlannerConfig:
     parallel: bool = True
 
 
+# Markers identifying a COMPILE-stage failure (vs a genuine runtime
+# error, which must propagate).  Root-caused instances so far: scoped
+# VMEM overflow from Mosaic minor-dim window padding (now rejected by
+# the planner's VMEM gate, runtime/lanes.py) and HBM demand beyond the
+# chip at wide slice-vmap widths — both surface through this
+# environment's remote compile helper; plain jax setups raise
+# XlaRuntimeError with the XLA:TPU compile text instead.
+_COMPILE_FAILURE_MARKERS = (
+    "remote_compile",
+    "tpu_compile_helper",
+    "XLA:TPU compile",
+    "Ran out of memory in memory space",
+)
+
+
+def _is_compile_failure(e):
+    msg = str(e)
+    return any(m in msg for m in _COMPILE_FAILURE_MARKERS)
+
+
 def check_bitstrings(bitstrings):
     """'sparse' big-batch mode if amplitudes were requested, else 'normal'."""
     if len(bitstrings):
@@ -270,14 +290,16 @@ class TensorNetworkSimulation:
                             result = run(arrays)
                     except Exception as e:  # pragma: no cover (env-specific)
                         import logging
-                        msg = str(e)
-                        if "remote_compile" not in msg:
+                        if not _is_compile_failure(e):
                             raise
+                        msg = str(e)
                         if ("Ran out of memory" in msg
                                 or "hbm" in msg) and slice_batch > 1:
                             # the compile helper reports HBM demand
                             # explicitly now: the slice-vmap width is the
-                            # knob — halve and retry
+                            # knob — halve and retry (a VMEM overflow also
+                            # shrinks with the width when the window spans
+                            # the vmap batch fold)
                             slice_batch //= 2
                             logging.getLogger(__name__).warning(
                                 "compile OOM; retrying with slice_batch="

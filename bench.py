@@ -108,8 +108,13 @@ def main():
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
     k = len(sliced)
     width = int(os.environ.get("BENCH_WIDTH", "128"))
-    if (2 ** k) % width:
-        width = 1
+    while (2 ** k) % width:        # largest dividing power of two
+        width //= 2
+    # don't blow HBM batching few-slice plans wide: respect the
+    # temp-aware peak live set the wall estimator computes
+    from artensor_tpu.runtime.metrics import scheme_wall_estimate
+    _, w_est, _ = scheme_wall_estimate(steps, k)
+    width = max(1, min(width, w_est))
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bits_sorted),), field,
         slice_batch=width))

@@ -322,3 +322,80 @@ def test_pre_permuted_w_side():
         gk.MIN_X_ELEMS, gk.SLACK = old, olds
     assert plan is not None and plan.pre is not None
     _run_and_check(ix_w, ix_x, iy, dims_w, dims_x, plan)
+
+
+def test_batched_rule_qb1_keeps_per_instance_windows():
+    """K >= 64 plans have qb == 1; under vmap they must STILL route
+    through the batched kernel (batch = leading grid axis, per-instance
+    VMEM windows) — the naive-vmap fallback folds the whole batch into
+    the window and aborted compile at 161MB scoped VMEM on the sc25
+    plan.  Oracle-checked at width 8."""
+    import jax
+
+    ix_x = tuple(f"c{k}" for k in range(6)) + ("g1", "f1")
+    dims_x = (2, 2, 2, 2, 2, 2, 2, 512)      # K = 64 -> qb = 1
+    ix_w = tuple(f"c{k}" for k in range(6)) + ("n1",)
+    dims_w = (2, 2, 2, 2, 2, 2, 4)
+    iy = ("g1", "n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    assert plan is not None and plan.use_mxu and plan.qb == 1
+
+    W = 8
+    rng = np.random.default_rng(11)
+    xs = (rng.standard_normal((W,) + dims_x)
+          + 1j * rng.standard_normal((W,) + dims_x)).astype(np.complex64)
+    w1 = (rng.standard_normal(dims_w)
+          + 1j * rng.standard_normal(dims_w)).astype(np.complex64)
+    field = make_field(np.complex64, "highest", "split")
+
+    lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+    ex = [lab[l] for l in ix_x]
+    ew = [lab[l] for l in ix_w]
+    ey = [lab[l] for l in iy]
+
+    def one(xf, wf):
+        return apply_gk_step(field, xf, wf, plan, interpret=True)
+
+    xb = (jnp_stack(xs.real), jnp_stack(xs.imag))
+    wu = field.wrap(w1.reshape(-1))
+    got = jax.vmap(one, in_axes=((0, 0), None))(xb, wu)
+    want = np.stack([np.einsum(xs[b], ex, w1, ew, ey) for b in range(W)])
+    out = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(want.shape)
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=1e-5)
+
+
+def test_vpu_plan_vmap_via_sequential_map():
+    """use_mxu=False (VPU-path) plans under vmap must not fold the batch
+    into the VMEM window; they run as a sequential lax.map.  Oracle-
+    checked batched-X/shared-W and batched-both."""
+    import jax
+
+    # tiny K=2, H=1 with a non-128 tail: plans off the MXU path
+    ix_x = ("c1", "g1", "f1")
+    dims_x = (2, 2, 4096)
+    ix_w = ("c1", "n1")
+    dims_w = (2, 2)
+    iy = ("g1", "n1", "f1")
+    plan = _plan(ix_x, ix_w, iy, dims_x, dims_w)
+    if plan is None or plan.use_mxu:
+        import pytest
+        pytest.skip("planner put this form on the MXU path")
+
+    W = 4
+    rng = np.random.default_rng(13)
+    xs = (rng.standard_normal((W,) + dims_x)
+          + 1j * rng.standard_normal((W,) + dims_x)).astype(np.complex64)
+    w1 = (rng.standard_normal(dims_w)
+          + 1j * rng.standard_normal(dims_w)).astype(np.complex64)
+    field = make_field(np.complex64, "highest", "split")
+    lab = {l: k for k, l in enumerate({*ix_x, *ix_w, *iy})}
+    ex, ew, ey = ([lab[l] for l in ix] for ix in (ix_x, ix_w, iy))
+
+    def one(xf, wf):
+        return apply_gk_step(field, xf, wf, plan, interpret=True)
+
+    xb = (jnp_stack(xs.real), jnp_stack(xs.imag))
+    got = jax.vmap(one, in_axes=((0, 0), None))(xb, field.wrap(w1.reshape(-1)))
+    want = np.stack([np.einsum(xs[b], ex, w1, ew, ey) for b in range(W)])
+    out = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(want.shape)
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=1e-5)

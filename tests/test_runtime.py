@@ -435,3 +435,15 @@ def test_dense_output_sharded_preplanned():
                                           dtype=np.complex128)
     want = c.state_vec()
     assert np.abs(full - want).max() < 1e-10
+
+
+def test_compile_failure_classifier():
+    from artensor_tpu.simulation import _is_compile_failure
+
+    assert _is_compile_failure(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500"))
+    assert _is_compile_failure(RuntimeError(
+        "XLA:TPU compile permanent error. Ran out of memory in memory "
+        "space vmem. Used 317.98M of 128.00M vmem."))
+    assert not _is_compile_failure(ValueError("shapes mismatch"))
+    assert not _is_compile_failure(FloatingPointError("overflow"))
