@@ -114,6 +114,50 @@ class GKPlan:
                          # the explicit pre transpose unnecessary
 
 
+def gk_window_bytes(x_axes, view_x, y_axes, K, H, fm, gb_gid,
+                    qb, gt, block):
+    """Scoped-VMEM bytes the kernel's block windows really occupy:
+    Mosaic-padded to the (8,128) tile, double-buffered, re/im separate
+    operands, including the qb slice instances packed per program and
+    the gt sub-problems one program covers."""
+    from .lanes import _padded_elems
+
+    bf = block // fm
+    xw = [qb]
+    for k2, (kind, gid) in enumerate(x_axes):
+        if kind == "c":
+            xw.append(view_x[k2])
+        elif kind == "g":
+            if gid == gb_gid:
+                xw.append(gt)
+        elif gid == 0:          # ('f', 0)
+            xw.append(bf)
+        else:                   # ('f', 1)
+            xw.append(fm)
+    yw = [qb]
+    for a in y_axes:
+        if a[0] == "g":
+            if a[1] == gb_gid:
+                yw.append(gt)
+        elif a[0] == "H":
+            yw.append(H)
+        elif a == ("f", 0):
+            yw.append(bf)
+        else:
+            yw.append(fm)
+    pad128 = lambda n: -(-n // 128) * 128
+    w_el = pad128(qb * 2 * H) * pad128(qb * 2 * K)
+    return (4 * 2 * 2 * (_padded_elems(xw) + _padded_elems(yw))
+            + 4 * 2 * w_el)
+
+
+def plan_window_bytes(plan):
+    """gk_window_bytes for a finished GKPlan (regression-audit hook)."""
+    return gk_window_bytes(plan.x_axes, plan.view_x, plan.y_axes,
+                           plan.K, plan.H, plan.fm, plan.gb_gid,
+                           plan.qb, plan.gt, plan.block)
+
+
 def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
     """Modeled wall time of the XLA fallback for one step: K-discounted MXU
     vs HBM traffic, INCLUDING the output-reorder pass the fallback pays
@@ -344,36 +388,9 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     while 2 * qb * 2 * K <= 128 and 2 * qb * 2 * H <= 512:
         qb *= 2
 
-    from .lanes import _padded_elems
-
     def _win_bytes(qb_, gt_, block_):
-        bf_ = block_ // fm
-        xw = [qb_]
-        for k2, (kind, gid) in enumerate(x_axes):
-            if kind == "c":
-                xw.append(view_x[k2])
-            elif kind == "g":
-                if gid == gb_gid:
-                    xw.append(gt_)
-            elif gid == 0:          # ('f', 0)
-                xw.append(bf_)
-            else:                   # ('f', 1)
-                xw.append(fm)
-        yw = [qb_]
-        for a in y_axes:
-            if a[0] == "g":
-                if a[1] == gb_gid:
-                    yw.append(gt_)
-            elif a[0] == "H":
-                yw.append(H)
-            elif a == ("f", 0):
-                yw.append(bf_)
-            else:
-                yw.append(fm)
-        pad128 = lambda n: -(-n // 128) * 128
-        w_el = pad128(qb_ * 2 * H) * pad128(qb_ * 2 * K)
-        return (4 * 2 * 2 * (_padded_elems(xw) + _padded_elems(yw))
-                + 4 * 2 * w_el)
+        return gk_window_bytes(x_axes, view_x, y_axes, K, H, fm,
+                               gb_gid, qb_, gt_, block_)
 
     while _win_bytes(qb, gt, block) > GK_VMEM_BUDGET:
         if qb > 1:

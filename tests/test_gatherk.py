@@ -399,3 +399,34 @@ def test_vpu_plan_vmap_via_sequential_map():
     want = np.stack([np.einsum(xs[b], ex, w1, ew, ey) for b in range(W)])
     out = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(want.shape)
     np.testing.assert_allclose(out, want, rtol=2e-4, atol=1e-5)
+
+
+def test_all_repo_plan_schemes_fit_vmem_budget():
+    """Every GK plan the compilers attach, across every bundled n30 plan
+    file, must keep its padded double-buffered windows within the scoped
+    VMEM budget — the compile-abort class of docs/BENCH_NOTES.md round 3
+    must never come back."""
+    import glob
+    import os
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.runtime.gatherk import (GK_VMEM_BUDGET, GKPlan,
+                                              plan_window_bytes)
+    from artensor_tpu.runtime.sparse import contraction_scheme_sparse
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    plans = sorted(glob.glob(os.path.join(root, "plans",
+                                          "n30_m14_sparse_sc2*.json")))
+    assert plans
+    bits = [np.binary_repr(i, 30) for i in range(64)]
+    checked = 0
+    for path in plans[:4]:          # bounded: compile cost ~seconds each
+        sc = float(path.rsplit("sc", 1)[1].split("_")[0].split(".")[0])
+        _, _, ctree = plan_io.load_plan(path)
+        steps, _, _ = contraction_scheme_sparse(ctree, bits, sc_target=sc,
+                                                negotiate=False)
+        for s in steps:
+            if isinstance(s.lane, GKPlan):
+                assert plan_window_bytes(s.lane) <= GK_VMEM_BUDGET, path
+                checked += 1
+    assert checked > 10
