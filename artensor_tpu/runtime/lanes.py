@@ -867,8 +867,29 @@ def _pair_kernel(xr_ref, xi_ref, vr_ref, vi_ref, or_ref, oi_ref,
     oi_ref[...] = dot(xr, vi) + dot(xi, vr)
 
 
+def _pair_kernel_b(xr_ref, xi_ref, vr_ref, vi_ref, or_ref, oi_ref,
+                   precision=None):
+    """Batched pair kernel: blocks carry a leading size-1 batch axis."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    dot = partial(lax.dot_general,
+                  dimension_numbers=(((0,), (0,)), ((), ())),
+                  precision=precision or lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    xr, xi = xr_ref[0], xi_ref[0]
+    vr, vi = vr_ref[0], vi_ref[0]
+    or_ref[0] = dot(xr, vr) - dot(xi, vi)
+    oi_ref[0] = dot(xr, vi) + dot(xi, vr)
+
+
 def apply_pair_step(field, x, y, plan, interpret=None):
-    """Execute a both-big pair step on SplitField pairs (traceable)."""
+    """Execute a both-big pair step on SplitField pairs (traceable).
+
+    Under jax.vmap (the executor's slice batching) a custom batching rule
+    makes the batch a leading GRID axis with per-instance block windows —
+    naive pallas batching folds the whole batch into the VMEM window
+    (the compile-abort class of docs/BENCH_NOTES.md round 3)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -888,28 +909,58 @@ def apply_pair_step(field, x, y, plan, interpret=None):
     vs = field.reshape(y, (K, N))
     if plan.v_perm is not None:
         vs = field.take(vs, jnp.asarray(plan.v_perm), axis=0)
-    xspec = pl.BlockSpec((K, plan.bm), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((K, plan.bn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((plan.bm, plan.bn), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((M, N), jnp.float32)
     precision = kernel_precision(field)
-    yr, yi = pl.pallas_call(
-        partial(_pair_kernel, precision=precision),
-        grid=(M // plan.bm, N // plan.bn),
-        in_specs=[xspec, xspec, vspec, vspec],
-        out_specs=(ospec, ospec),
-        out_shape=(out_shape, out_shape),
+    params = dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=plan.flops,
             bytes_accessed=8 * (M * K + K * N + M * N),
             transcendentals=0),
-        interpret=interpret,
-    )(xs[0], xs[1], vs[0], vs[1])
+        interpret=interpret)
+
+    @jax.custom_batching.custom_vmap
+    def pair(xr, xi, vr, vi):
+        xspec = pl.BlockSpec((K, plan.bm), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM)
+        vspec = pl.BlockSpec((K, plan.bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((plan.bm, plan.bn), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((M, N), jnp.float32)
+        return pl.pallas_call(
+            partial(_pair_kernel, precision=precision),
+            grid=(M // plan.bm, N // plan.bn),
+            in_specs=[xspec, xspec, vspec, vspec],
+            out_specs=(ospec, ospec),
+            out_shape=(out_shape, out_shape),
+            **params,
+        )(xr, xi, vr, vi)
+
+    @pair.def_vmap
+    def pair_vmap(axis_size, in_batched, xr, xi, vr, vi):
+        W = axis_size
+        args = [a if b else jnp.broadcast_to(a[None], (W,) + a.shape)
+                for a, b in zip((xr, xi, vr, vi), in_batched)]
+        xspec = pl.BlockSpec((1, K, plan.bm), lambda w, i, j: (w, 0, i),
+                             memory_space=pltpu.VMEM)
+        vspec = pl.BlockSpec((1, K, plan.bn), lambda w, i, j: (w, 0, j),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((1, plan.bm, plan.bn),
+                             lambda w, i, j: (w, i, j),
+                             memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((W, M, N), jnp.float32)
+        out = pl.pallas_call(
+            partial(_pair_kernel_b, precision=precision),
+            grid=(W, M // plan.bm, N // plan.bn),
+            in_specs=[xspec, xspec, vspec, vspec],
+            out_specs=(ospec, ospec),
+            out_shape=(out_shape, out_shape),
+            **params,
+        )(*args)
+        return out, (True, True)
+
+    yr, yi = pair(xs[0], xs[1], vs[0], vs[1])
     return field.reshape((yr, yi), physical_shape(plan.dims_y))
 
 

@@ -101,7 +101,7 @@ def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
             else list(getattr(s, "lowered_chunks", ()) or ())
         if not lows:
             continue
-        if s.gathers is not None:
+        if getattr(s, "gathers", None) is not None:
             # chunk operands are gathered rows OF the source buffers; the
             # source sizes are bounded by the total gathered rows
             tot_i = sum(_prod(low.shape_l) for low in lows)
@@ -122,12 +122,12 @@ def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
             continue
         out = sum(_prod(low.phys_y) for low in lows)
         extra = 0
-        if s.gathers is not None:
+        if getattr(s, "gathers", None) is not None:
             # gathered operand copies of the current chunk + every chunk
             # output held until the final concat
             extra = max(_prod(low.shape_l) + _prod(low.shape_r)
                         for low in lows) + out
-        elif s.post_select is not None:
+        elif getattr(s, "post_select", None) is not None:
             extra = out      # pre-selection output + selected copy
         peak = max(peak, sum(live.values()) + out + extra)
         live[s.i] = out

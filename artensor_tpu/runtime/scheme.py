@@ -68,7 +68,7 @@ def make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j, lane=None):
                      tuple(dims_i), tuple(dims_j), low, lane)
 
 
-def contraction_scheme(ctree, lane_schedule=True):
+def contraction_scheme(ctree, lane_schedule=True, negotiate=True):
     """Dense (full-amplitude) scheme.
 
     Returns ``(steps, output_bonds)``: the steps list and the bond labels of
@@ -80,8 +80,24 @@ def contraction_scheme(ctree, lane_schedule=True):
     are contracted; see contraction_scheme_sparse) so every step sees its
     contract legs leading, and eligible steps get a Pallas plan attached:
     gather-K (runtime/gatherk.py) first, then the v1 lane kernel, then the
-    both-big pair kernel.
+    both-big pair kernel, then the pre-permuted gather-K form — whose
+    explicit transposes producer-order negotiation (runtime/negotiate.py)
+    then tries to remove, exactly as in the sparse compiler.
     """
+    if not lane_schedule or not negotiate \
+            or len(ctree.tn.tensor_bonds) > 300:
+        steps, ob, _ = _compile_dense(ctree, lane_schedule, None)
+        return steps, ob
+    from .negotiate import negotiate as _negotiate
+
+    def compile_fn(overrides):
+        steps, ob, req = _compile_dense(ctree, lane_schedule, overrides)
+        return (steps, ob), steps, req
+
+    return _negotiate(compile_fn)
+
+
+def _compile_dense(ctree, lane_schedule, _overrides):
     tn = ctree.tn
     if lane_schedule and len(tn.tensor_bonds) > 300:
         # pod-scale schemes: see contraction_scheme_sparse
@@ -90,10 +106,15 @@ def contraction_scheme(ctree, lane_schedule=True):
     bond_order = {}  # id(node) -> tuple of bond labels of its result axes
     steps = []
     output_bonds = ()
+    produced_by = {}   # rep tensor id -> index of the step that wrote it
+    fresh_of = {}      # rep tensor id -> legs taken from its SMALL operand
+                       # (the producer kernel's H block; layout requests
+                       # must keep it contiguous)
+    requests = {}      # producer step index -> candidate output orders
     if ctree.root.is_leaf():
         # degenerate single-tensor network (everything simplified away):
         # no steps; the staged tensor IS the result
-        return steps, list(tn.tensor_bonds[ctree.root.leaf_id])
+        return steps, list(tn.tensor_bonds[ctree.root.leaf_id]), requests
     vertices = internal_nodes_in_execution_order(ctree)
     # pre-pass: the step index at which each bond is contracted
     time_of = {}
@@ -136,6 +157,11 @@ def contraction_scheme(ctree, lane_schedule=True):
                            or min(size_i, size_j) > HK_CAP)))
         else:
             iy = preferred_output_order(ix_i, ix_j, yset)
+        t = len(steps)
+        overridden = (_overrides is not None and t in _overrides
+                      and set(_overrides[t]) == yset)
+        if overridden:
+            iy = tuple(_overrides[t])
         assert set(iy) == yset
         step = make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j, lane)
         if lane_schedule and lane is None:
@@ -159,23 +185,51 @@ def contraction_scheme(ctree, lane_schedule=True):
             if lane is not None:
                 import dataclasses
                 step = dataclasses.replace(step, lane=lane)
-            elif max(size_i, size_j) >= MIN_X_ELEMS:
+            elif max(size_i, size_j) >= MIN_X_ELEMS and not overridden:
                 # dense XLA fallback: a forced reorder on a big dense
                 # intermediate is a multi-pass element gather (measured
                 # 73 s/block vs 1.4 at n30 2^24 when every step pays it);
                 # keep the transpose-free natural order instead.  Small
                 # steps keep the time order so the invariant establishes
-                # early and downstream kernels stay eligible.
+                # early and downstream kernels stay eligible.  Overridden
+                # steps keep the negotiated order (est judges the trial).
                 iy = preferred_output_order(ix_i, ix_j, yset,
                                             dims_i, dims_j)
                 step = make_dense_step(i, j, ix_i, ix_j, iy,
                                        dims_i, dims_j, None)
+            from .gatherk import GKPlan as _GKPlan
+            if (isinstance(lane, _GKPlan)
+                    and lane.pre is not None and lane.px is not None
+                    and (_overrides is None
+                         or produced_by.get(i if lane.w_is_j else j)
+                         not in _overrides)):
+                # ask X's producer to emit a GK-friendly order directly
+                from .sparse import _layout_request_candidates
+                x_tid = i if lane.w_is_j else j
+                ix_x0 = ix_i if lane.w_is_j else ix_j
+                ix_w0 = ix_j if lane.w_is_j else ix_i
+                rel_x = step.ix_i if lane.w_is_j else step.ix_j
+                orig_of_x = dict(zip(rel_x, ix_x0))
+                prod = produced_by.get(x_tid)
+                if prod is not None and prod not in requests:
+                    cands = _layout_request_candidates(
+                        tuple(ix_x0), tuple(ix_w0), tuple(iy), dims,
+                        fresh_of.get(x_tid, ()),
+                        [orig_of_x[l] for l in lane.px])
+                    if cands:
+                        requests[prod] = cands
         bond_order[id(v)] = iy
         steps.append(step)
+        from .lowering import _prod as _prodf
+        small_j = _prodf(dims_i) >= _prodf(dims_j)
+        sm, bg = (ix_j, ix_i) if small_j else (ix_i, ix_j)
+        fresh_of[i] = tuple(b for b in iy
+                            if b in set(sm) and b not in set(bg))
+        produced_by[i] = t
         if v is ctree.root:
             output_bonds = iy
     if lane_schedule:
         from .lanes import prune_lane_plans
 
         prune_lane_plans(steps)
-    return steps, list(output_bonds)
+    return steps, list(output_bonds), requests

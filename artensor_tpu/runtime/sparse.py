@@ -230,70 +230,25 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
 
     Returns (steps, output_bonds, bitstrings_sorted).
 
-    Two-pass producer-order negotiation: pass 1 compiles with time-ordered
-    layouts; wherever the pre-permuted gather-K form fired (an explicit
-    transpose of X before the kernel), pass 2 asks X's PRODUCER to emit
-    that order directly — the consumer then plans the kernel in place and
-    the transpose (measured as TWO full HBM passes: XLA retile+layout
-    copy plus a normalize copy, docs/BENCH_NOTES.md round-3 profile)
-    disappears.  The cheaper scheme by the calibrated wall estimate wins.
+    Two-pass producer-order negotiation (runtime/negotiate.py): pass 1
+    compiles with time-ordered layouts; wherever the pre-permuted
+    gather-K form fired (an explicit transpose of X before the kernel),
+    pass 2 asks X's PRODUCER to emit that order directly — the consumer
+    then plans the kernel in place and the transpose disappears.  The
+    cheaper scheme by the calibrated wall estimate wins.
     """
-    steps1, ob1, bits1, requests = _compile_sparse(
-        ctree, bitstrings, sc_target, lane_schedule, None)
-    if not requests or not lane_schedule or not negotiate:
+    if not lane_schedule or not negotiate:
+        steps1, ob1, bits1, _ = _compile_sparse(
+            ctree, bitstrings, sc_target, lane_schedule, None)
         return steps1, ob1, bits1
-    # Bounded best-first search over override SETS.  Two kinds of moves:
-    # a strict win (the consumer's pre-transpose disappears and nobody
-    # pays) and a WASH (the transpose relocates onto the producer, est
-    # unchanged) — washes are explored because the relocated pre issues a
-    # NEW request one link up the chain, and the chain often terminates
-    # at a producer flexible enough to absorb the order for free (the
-    # whole chain of transposes then collapses to the absorption point).
-    # Hard guard everywhere: no step that had a kernel in pass 1 may
-    # lose it — the est model undervalues real kernel speedups (measured:
-    # trading 2 hot kernels for 5 removed pre-transposes ran
-    # 1.45 -> 1.55 s).  Only a strictly-better final state is committed.
-    from .metrics import scheme_wall_estimate
-    est1 = scheme_wall_estimate(steps1, 0)[0]
-    eps = est1 * 1e-6
-    kern1 = [s.lane is not None for s in steps1]
-    best = (steps1, ob1, bits1)
-    best_est = est1
-    seen = {frozenset()}
-    frontier = [(est1, 0, {}, requests)]
-    trials = 0
-    while frontier and trials < 40:
-        frontier.sort(key=lambda f: (f[0], len(f[2])))
-        est, _, acc, pend = frontier.pop(0)
-        for t_req, cands in pend.items():
-            if t_req in acc:
-                continue
-            for want in cands:
-                trial = dict(acc)
-                trial[t_req] = want
-                key = frozenset(trial.items())
-                if key in seen:
-                    continue
-                seen.add(key)
-                trials += 1
-                steps2, ob2, bits2, req2 = _compile_sparse(
-                    ctree, bitstrings, sc_target, lane_schedule, trial)
-                if any(k and s.lane is None
-                       for k, s in zip(kern1, steps2)):
-                    continue
-                est2 = scheme_wall_estimate(steps2, 0)[0]
-                if est2 > est + eps:
-                    continue
-                merged = dict(pend)
-                merged.update(req2)
-                frontier.append((est2, trials, trial, merged))
-                if est2 < best_est - eps:
-                    best = (steps2, ob2, bits2)
-                    best_est = est2
-                if est2 < est - eps:
-                    break       # strict win at this node: stop scanning
-                                # weaker candidates (washes stay queued)
-    return best
+    from .negotiate import negotiate as _negotiate
+
+    def compile_fn(overrides):
+        steps, ob, bits, req = _compile_sparse(
+            ctree, bitstrings, sc_target, lane_schedule, overrides)
+        return (steps, ob, bits), steps, req
+
+    return _negotiate(compile_fn)
 
 
 _BATCH_LABELS = {"batch", "batch_i", "batch_j"}

@@ -269,3 +269,44 @@ def test_padded_elems_tile_rounding():
     assert _padded_elems([256]) == 256
     assert _padded_elems([100]) == 128
     assert _padded_elems([]) == 1
+
+
+def test_pair_kernel_vmap_batching_rule():
+    """vmapped pair steps take the custom rule: batch = leading grid axis
+    with per-instance windows.  Oracle-checked batched-both and
+    batched-X/shared-V."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    K, M, N = 128, 256, 256
+    ix_i = ("k1", "m1")
+    ix_j = ("k1", "n1")
+    iy = ("m1", "n1")
+    plan = plan_pair_step(ix_i, ix_j, iy, (K, M), (K, N))
+    assert plan is not None
+
+    W = 3
+    xs = (rng.standard_normal((W, K, M)) + 1j
+          * rng.standard_normal((W, K, M))).astype(np.complex64)
+    vs = (rng.standard_normal((W, K, N)) + 1j
+          * rng.standard_normal((W, K, N))).astype(np.complex64)
+    field = make_field(np.complex64, "highest", "split")
+
+    def one(xf, vf):
+        return apply_pair_step(field, xf, vf, plan, interpret=True)
+
+    def wrap_b(a):
+        return (jnp.asarray(a.real.reshape(W, -1).astype(np.float32)),
+                jnp.asarray(a.imag.reshape(W, -1).astype(np.float32)))
+
+    got = jax.vmap(one, in_axes=((0, 0), (0, 0)))(wrap_b(xs), wrap_b(vs))
+    want = np.einsum("wkm,wkn->wmn", xs, vs)
+    out = (np.asarray(got[0]) + 1j * np.asarray(got[1])).reshape(want.shape)
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=1e-4)
+
+    got2 = jax.vmap(one, in_axes=((0, 0), None))(
+        wrap_b(xs), field.wrap(vs[0].reshape(-1)))
+    want2 = np.einsum("wkm,kn->wmn", xs, vs[0])
+    out2 = (np.asarray(got2[0]) + 1j * np.asarray(got2[1])).reshape(want2.shape)
+    np.testing.assert_allclose(out2, want2, rtol=2e-4, atol=1e-4)

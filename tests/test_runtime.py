@@ -447,3 +447,32 @@ def test_compile_failure_classifier():
         "space vmem. Used 317.98M of 128.00M vmem."))
     assert not _is_compile_failure(ValueError("shapes mismatch"))
     assert not _is_compile_failure(FloatingPointError("overflow"))
+
+
+def test_dense_negotiation_invariants_on_block_plan():
+    """Dense producer-order negotiation: never lose a pass-1 kernel,
+    never worsen the wall estimate, keep step pairing and the output
+    bond set."""
+    import os
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.runtime import metrics as mt
+    from artensor_tpu.runtime.scheme import _compile_dense, contraction_scheme
+
+    path = os.path.join(os.path.dirname(__file__), "..", "plans",
+                        "n30_m14_dense_blocks64_sc26.json")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("plan absent")
+    _, _, ctree = plan_io.load_plan(path)
+    s1, ob1, req = _compile_dense(ctree, True, None)
+    assert req, "block plan should generate layout requests"
+    s2, ob2 = contraction_scheme(ctree)
+    assert mt.scheme_wall_estimate(s2, 0)[0] \
+        <= mt.scheme_wall_estimate(s1, 0)[0] * (1 + 1e-9)
+    assert len(s1) == len(s2)
+    for a, b in zip(s1, s2):
+        assert (a.i, a.j) == (b.i, b.j)
+        if a.lane is not None:
+            assert b.lane is not None
+    assert set(ob1) == set(ob2)
