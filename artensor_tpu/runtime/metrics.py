@@ -141,6 +141,64 @@ def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
 # extra full passes over the data that the lowered-step model cannot see.
 XLA_RELAYOUT_FACTOR = 2.2
 
+# Optional measured calibration (scripts/fit_calibration.py writes
+# artensor_tpu/calibration.json from width-sweep data).  Identity
+# defaults reproduce the uncalibrated model exactly:
+#   per_slice = kern_factor*kern_s + xla_factor*xla_s
+#               + byte_factor*bytes_per_slice/HBM
+#   total     = n_slices*(per_slice + n_steps*step_overhead_w1_s/width)
+_CALIBRATION = None
+
+
+def load_calibration(path=None, refresh=False):
+    """Load (and cache) the measured estimator calibration, if any."""
+    global _CALIBRATION
+    if _CALIBRATION is not None and not refresh:
+        return _CALIBRATION
+    import json
+    import os
+    path = path or os.environ.get("ARTENSOR_TPU_CALIBRATION") or \
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "calibration.json")
+    cal = {"kern_factor": 1.0, "xla_factor": 1.0, "byte_factor": 0.0,
+           "step_overhead_w1_s": None}
+    if os.path.exists(path):
+        with open(path) as f:
+            cal.update(json.load(f))
+    _CALIBRATION = cal
+    return cal
+
+
+def scheme_wall_components(steps):
+    """Decompose the per-slice model: (kern_s, xla_s, bytes_per_slice,
+    n_steps).  ``bytes_per_slice`` counts every step's fused-minimum
+    traffic (kernel steps too) — the regressor for the measured
+    size-proportional gap the base model misses."""
+    from ..planner.cost import MXU_K_FULL, TPU_HBM_BYTES_PER_S
+    from .lowering import _prod
+
+    flops_rate = 28.6e12 / 2.0
+    kern_s = xla_s = bytes_ps = 0.0
+    n_steps = 0
+    for s in steps:
+        n_steps += 1
+        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
+            else list(getattr(s, "lowered_chunks", ()) or ())
+        for low in lows:
+            bytes_ps += step_traffic_bytes(low)
+        if getattr(s, "lane", None) is not None:
+            kern_s += s.lane.est_s
+            continue
+        for low in lows:
+            (cx, _cy), (bx, _by) = low.dnums
+            k = _prod(low.shape_l[d] for d in cx)
+            rate = flops_rate * min(1.0, k / MXU_K_FULL)
+            xla_s += max(
+                step_flops(low) / rate,
+                step_traffic_bytes(low) * XLA_RELAYOUT_FACTOR
+                / TPU_HBM_BYTES_PER_S)
+    return kern_s, xla_s, bytes_ps, n_steps
+
 
 def scheme_wall_estimate(steps, k_sliced,
                          xla_traffic_factor=XLA_RELAYOUT_FACTOR,
@@ -149,36 +207,26 @@ def scheme_wall_estimate(steps, k_sliced,
     portfolios: per-slice step costs (kernel est_s where planned; XLA
     fallback traffic inflated by the measured relayout factor) plus the
     per-step fixed overhead amortized by the slice-vmap width the TEMP-
-    AWARE peak live set allows.  Returns (seconds, width, peak_bytes)."""
-    from ..planner.cost import (HBM_BUDGET_BYTES, MXU_K_FULL,
-                                STEP_OVERHEAD_W1_S, TPU_HBM_BYTES_PER_S)
-    from .lowering import _prod
+    AWARE peak live set allows.  When a measured calibration file exists
+    (load_calibration), its fitted factors rescale the components.
+    Returns (seconds, width, peak_bytes)."""
+    from ..planner.cost import (HBM_BUDGET_BYTES, STEP_OVERHEAD_W1_S,
+                                TPU_HBM_BYTES_PER_S)
 
     budget = hbm_budget_bytes or HBM_BUDGET_BYTES
-    flops_rate = 28.6e12 / 2.0
-    per_slice = 0.0
-    n_steps = 0
-    for s in steps:
-        n_steps += 1
-        if getattr(s, "lane", None) is not None:
-            per_slice += s.lane.est_s
-            continue
-        lows = [s.lowered] if getattr(s, "lowered", None) is not None \
-            else list(getattr(s, "lowered_chunks", ()) or ())
-        for low in lows:
-            (cx, _cy), (bx, _by) = low.dnums
-            k = _prod(low.shape_l[d] for d in cx)
-            rate = flops_rate * min(1.0, k / MXU_K_FULL)
-            per_slice += max(
-                step_flops(low) / rate,
-                step_traffic_bytes(low) * xla_traffic_factor
-                / TPU_HBM_BYTES_PER_S)
+    cal = load_calibration()
+    kern_s, xla_s, bytes_ps, n_steps = scheme_wall_components(steps)
+    if xla_traffic_factor != XLA_RELAYOUT_FACTOR:
+        xla_s *= xla_traffic_factor / XLA_RELAYOUT_FACTOR
+    per_slice = (cal["kern_factor"] * kern_s + cal["xla_factor"] * xla_s
+                 + cal["byte_factor"] * bytes_ps / TPU_HBM_BYTES_PER_S)
+    overhead_w1 = cal["step_overhead_w1_s"] or STEP_OVERHEAD_W1_S
     peak = scheme_peak_live_bytes(steps)
     width = max(1, min(256, int(budget // max(peak, 1))))
     width = 1 << (width.bit_length() - 1)           # power of two
     n_slices = 2 ** k_sliced
     width = min(width, n_slices)
-    total = n_slices * (per_slice + n_steps * STEP_OVERHEAD_W1_S / width)
+    total = n_slices * (per_slice + n_steps * overhead_w1 / width)
     return total, width, peak
 
 

@@ -45,9 +45,13 @@ def main():
     from artensor_tpu.runtime.sparse import (contraction_scheme_sparse,
                                              execute_sparse)
 
-    plan = sys.argv[1] if len(sys.argv) > 1 \
-        else "plans/n30_m14_sparse_sc22.json"
-    widths = [int(a) for a in sys.argv[2:]]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    record_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--record="):
+            record_path = a.split("=", 1)[1]
+    plan = args[0] if args else "plans/n30_m14_sparse_sc22.json"
+    widths = [int(a) for a in args[1:]]
 
     with open(REF_AMPS) as f:
         bitstrings = [ln.split()[0] for ln in f if ln.strip()][:1000]
@@ -67,6 +71,10 @@ def main():
     if not widths:
         widths = sorted({w for w in (1, 2, 4, 8, 16, 32, 64, 128)
                          if w <= min(2 ** k, w_est)})
+    kern_s, xla_s, bytes_ps, n_steps = mt.scheme_wall_components(steps)
+    record = {"plan": plan, "k": k, "kern_s": kern_s, "xla_s": xla_s,
+              "bytes_per_slice": bytes_ps, "n_steps": n_steps,
+              "points": []}
     field = make_field(np.complex64, "highest", "split")
     staged = stage_tensors(field,
                            [ntn.tensors[i] for i in range(len(ntn.tensors))])
@@ -94,7 +102,11 @@ def main():
         print(json.dumps({"width": w, "wall_s": round(wall, 3),
                           "est_s": round(e, 3),
                           "gap_s": round(wall - e, 3),
-                          "compile_s": round(compile_s, 1)}))
+                          "compile_s": round(compile_s, 1)}), flush=True)
+        record["points"].append({"width": w, "wall_s": wall})
+        if record_path:           # append-after-every-point: a crash or
+            with open(record_path, "w") as f:  # OOM keeps earlier widths
+                json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -440,3 +440,87 @@ def test_scheme_wall_estimate_and_peak(sparse_scheme):
     secs2, width2, _ = scheme_wall_estimate(
         steps, k, hbm_budget_bytes=max(int(peak), 1))
     assert width2 <= width and secs2 >= secs
+
+
+def test_wall_estimate_calibration(sparse_scheme, tmp_path, monkeypatch):
+    """Identity calibration reproduces the uncalibrated estimate exactly;
+    a calibration file rescales each component as documented."""
+    from artensor_tpu.planner.cost import (STEP_OVERHEAD_W1_S,
+                                           TPU_HBM_BYTES_PER_S)
+    from artensor_tpu.runtime import metrics as mt
+
+    _, steps, _, k, _, _ = sparse_scheme
+    mt.load_calibration(refresh=True)       # whatever the repo ships
+    base, w, _ = mt.scheme_wall_estimate(steps, k)
+    kern, xla, byts, n = mt.scheme_wall_components(steps)
+    cal0 = mt.load_calibration()
+    expect = 2 ** k * (cal0["kern_factor"] * kern
+                       + cal0["xla_factor"] * xla
+                       + cal0["byte_factor"] * byts / TPU_HBM_BYTES_PER_S
+                       + n * (cal0["step_overhead_w1_s"]
+                              or STEP_OVERHEAD_W1_S) / w)
+    assert base == pytest.approx(expect, rel=1e-9)
+    p = tmp_path / "cal.json"
+    p.write_text(json.dumps({"kern_factor": 2.0, "xla_factor": 1.5,
+                             "byte_factor": 3.0,
+                             "step_overhead_w1_s": 1e-3}))
+    monkeypatch.setenv("ARTENSOR_TPU_CALIBRATION", str(p))
+    try:
+        mt.load_calibration(refresh=True)
+        got, w2, _ = mt.scheme_wall_estimate(steps, k)
+        assert w2 == w              # width depends on peak only
+        expect2 = 2 ** k * (2.0 * kern + 1.5 * xla
+                            + 3.0 * byts / TPU_HBM_BYTES_PER_S
+                            + n * 1e-3 / w)
+        assert got == pytest.approx(expect2, rel=1e-9)
+        assert got > base
+    finally:
+        monkeypatch.delenv("ARTENSOR_TPU_CALIBRATION")
+        mt.load_calibration(refresh=True)
+
+
+def test_fit_calibration_recovers_planted_factors(tmp_path):
+    """scripts/fit_calibration.py recovers factors that generated
+    synthetic width-sweep records (two schemes, exact model)."""
+    import subprocess
+    import sys as _sys
+
+    from artensor_tpu.planner.cost import TPU_HBM_BYTES_PER_S
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    planted = dict(kern=1.3, xla=1.0, byte=0.8, oh=4e-4)
+    recs = [
+        {"plan": "a", "k": 8, "kern_s": 3e-3, "xla_s": 4e-4,
+         "bytes_per_slice": 1.7e9, "n_steps": 180},
+        {"plan": "b", "k": 4, "kern_s": 2.0e-2, "xla_s": 3e-3,
+         "bytes_per_slice": 1.3e10, "n_steps": 160},
+        {"plan": "c", "k": 6, "kern_s": 9e-3, "xla_s": 1e-3,
+         "bytes_per_slice": 2.5e9, "n_steps": 200},
+    ]
+    paths = []
+    for r in recs:
+        pts = []
+        for w in (1, 4, 16, 64):
+            wall = 2 ** r["k"] * (
+                planted["kern"] * r["kern_s"]
+                + planted["xla"] * r["xla_s"]
+                + planted["byte"] * r["bytes_per_slice"]
+                / TPU_HBM_BYTES_PER_S
+                + r["n_steps"] * planted["oh"] / w)
+            pts.append({"width": w, "wall_s": wall})
+        r["points"] = pts
+        p = tmp_path / f"{r['plan']}.json"
+        p.write_text(json.dumps(r))
+        paths.append(str(p))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(root, "scripts",
+                                       "fit_calibration.py")] + paths,
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    cal = json.loads(out.stdout[:out.stdout.index("}") + 1])
+    assert cal["kern_factor"] == pytest.approx(planted["kern"], abs=2e-3)
+    assert cal["xla_factor"] == pytest.approx(planted["xla"], abs=2e-3)
+    assert cal["byte_factor"] == pytest.approx(planted["byte"], abs=2e-3)
+    assert cal["step_overhead_w1_s"] == pytest.approx(planted["oh"],
+                                                      rel=1e-2)
+
