@@ -15,14 +15,26 @@ often terminates at a producer flexible enough to absorb the order for
 free (the whole chain of transposes then collapses to the absorption
 point).
 
+A third move class needs special handling: a candidate that UNLOCKS a
+kernel on a hot pass-1 XLA step (e.g. the both-big pair form on a
+junction merge) usually REGRESSES the estimate at hop 1 — the step's
+consumers temporarily fall from in-place gather-K to the pre-permuted
+form — and only resolves to a net win two or three hops later, once the
+consumers' own producer requests are followed.  The wash rule prunes
+such nodes immediately, so a separate bounded greedy chain is seeded
+from each kernel-unlocking candidate on a hot step (phase 2 below).
+
 Hard guard everywhere: no step that had a kernel in pass 1 may lose it
 — the estimate model undervalues real kernel speedups (measured:
 trading 2 hot kernels for 5 removed pre-transposes ran 1.45 -> 1.55s).
 Only a strictly-better final state is committed.
 """
 
+HOT_SHARE = 0.02     # a pass-1 XLA step is chain-seed-worthy when its
+                     # modeled time exceeds this share of the scheme
 
-def negotiate(compile_fn, max_trials=40):
+
+def negotiate(compile_fn, max_trials=40, chain_budget=100):
     """Run the override search.
 
     ``compile_fn(overrides_or_None)`` must return
@@ -32,7 +44,7 @@ def negotiate(compile_fn, max_trials=40):
     bond orders (friendliest first).  Returns the best ``result`` by
     the calibrated wall estimate.
     """
-    from .metrics import scheme_wall_estimate
+    from .metrics import scheme_wall_components, scheme_wall_estimate
 
     res1, steps1, requests = compile_fn(None)
     if not requests:
@@ -40,7 +52,23 @@ def negotiate(compile_fn, max_trials=40):
     est1 = scheme_wall_estimate(steps1, 0)[0]
     eps = est1 * 1e-6
     kern1 = [s.lane is not None for s in steps1]
-    best, best_est = res1, est1
+    state = {"best": res1, "best_est": est1}
+    cache = {}
+
+    def _eval(trial):
+        key = frozenset(trial.items())
+        if key in cache:
+            return cache[key]
+        res2, steps2, req2 = compile_fn(trial)
+        lost = any(k and s.lane is None for k, s in zip(kern1, steps2))
+        est2 = scheme_wall_estimate(steps2, 0)[0]
+        out = (res2, steps2, req2, est2, lost)
+        cache[key] = out
+        if not lost and est2 < state["best_est"] - eps:
+            state["best"], state["best_est"] = res2, est2
+        return out
+
+    # ---- phase 1: best-first over strict wins and washes -----------------
     seen = {frozenset()}
     frontier = [(est1, 0, {}, requests)]
     trials = 0
@@ -58,20 +86,52 @@ def negotiate(compile_fn, max_trials=40):
                     continue
                 seen.add(key)
                 trials += 1
-                res2, steps2, req2 = compile_fn(trial)
-                if any(k and s.lane is None
-                       for k, s in zip(kern1, steps2)):
-                    continue
-                est2 = scheme_wall_estimate(steps2, 0)[0]
-                if est2 > est + eps:
+                _res2, steps2, req2, est2, lost = _eval(trial)
+                if lost or est2 > est + eps:
                     continue
                 merged = dict(pend)
                 merged.update(req2)
                 frontier.append((est2, trials, trial, merged))
-                if est2 < best_est - eps:
-                    best = res2
-                    best_est = est2
                 if est2 < est - eps:
                     break       # strict win at this node: stop scanning
                                 # weaker candidates (washes stay queued)
-    return best
+
+    # ---- phase 2: kernel-unlocking chains on hot XLA steps ---------------
+    def _step_est(s):
+        k_s, x_s, _b, _n = scheme_wall_components([s])
+        return k_s + x_s
+
+    per_slice = sum(_step_est(s) for s in steps1) or 1.0
+    seeds = [t for t in requests
+             if t < len(steps1) and steps1[t].lane is None
+             and _step_est(steps1[t]) >= HOT_SHARE * per_slice]
+    budget = chain_budget
+    for t0 in seeds:
+        for want0 in requests[t0]:
+            if budget <= 0:
+                break
+            budget -= 1
+            _r, steps2, req2, est2, lost = _eval({t0: want0})
+            if lost or steps2[t0].lane is None or est2 > est1 * 1.05:
+                continue        # the seed must actually unlock the kernel
+            acc, pend, est = {t0: want0}, req2, est2
+            for _hop in range(6):
+                move = None
+                for t2, cands in pend.items():
+                    if t2 in acc:
+                        continue
+                    for w2 in cands:
+                        if budget <= 0:
+                            break
+                        budget -= 1
+                        trial = dict(acc)
+                        trial[t2] = w2
+                        _r3, _s3, req3, est3, lost3 = _eval(trial)
+                        if lost3:
+                            continue
+                        if move is None or est3 < move[2]:
+                            move = (trial, req3, est3)
+                if move is None or move[2] >= est - eps or budget <= 0:
+                    break
+                acc, pend, est = move
+    return state["best"]

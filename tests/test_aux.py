@@ -524,3 +524,71 @@ def test_fit_calibration_recovers_planted_factors(tmp_path):
     assert cal["step_overhead_w1_s"] == pytest.approx(planted["oh"],
                                                       rel=1e-2)
 
+
+
+def _fake_step(i, j, kernel_est=None, xla_elems=None):
+    """Minimal step object for negotiate()/scheme_wall_estimate tests."""
+    from types import SimpleNamespace
+
+    lane = SimpleNamespace(est_s=kernel_est) if kernel_est else None
+    lowered = None
+    if xla_elems:
+        K, M, N = xla_elems
+        lowered = SimpleNamespace(
+            dnums=(((0,), (0,)), ((), ())), shape_l=(K, M), shape_r=(K, N),
+            phys_y=(M, N), re_out=None, swapped=False)
+    return SimpleNamespace(i=i, j=j, lane=lane, lowered=lowered,
+                           lowered_chunks=None, gathers=None,
+                           post_select=None)
+
+
+def test_negotiate_kernel_unlocking_chain():
+    """A candidate that unlocks a kernel on a hot XLA step but REGRESSES
+    the estimate at hop 1 (its consumer falls to a pre-permuted form) is
+    still found when following the consumer's own request resolves the
+    chain to a strict net win (negotiate phase 2)."""
+    from artensor_tpu.runtime.negotiate import negotiate
+
+    BIG = (128, 2048, 2048)        # hot both-big XLA shape
+
+    def compile_fn(ov):
+        ov = ov or {}
+        steps = [_fake_step(0, 1, kernel_est=1e-4)]
+        if ov.get(1) == "grouped":
+            steps.append(_fake_step(0, 2, kernel_est=2e-4))
+            if ov.get(2) == "friendly":
+                # consumer re-kernels in place: strict win overall
+                steps.append(_fake_step(0, 3, kernel_est=1e-4))
+                requests = {}
+            else:
+                # consumer pays a pre-permuted form: hop-1 regression
+                steps.append(_fake_step(0, 3, kernel_est=2.7e-4))
+                requests = {2: ("friendly",)}
+        else:
+            steps.append(_fake_step(0, 2, xla_elems=BIG))
+            steps.append(_fake_step(0, 3, kernel_est=1e-4))
+            requests = {1: ("grouped",)}
+        return tuple(sorted(ov.items())), steps, requests
+
+    assert negotiate(compile_fn) == ((1, "grouped"), (2, "friendly"))
+
+
+def test_negotiate_never_trades_away_kernels():
+    """The hard guard: no pass-1 kernel may be lost, even when the trial
+    models faster."""
+    from artensor_tpu.runtime.negotiate import negotiate
+
+    def compile_fn(ov):
+        ov = ov or {}
+        if ov.get(1) == "fast":
+            # models 10x faster but DROPS step 2's pass-1 kernel
+            steps = [_fake_step(0, 1, kernel_est=1e-5),
+                     _fake_step(0, 2, xla_elems=(8, 128, 128)),
+                     _fake_step(0, 3, kernel_est=1e-5)]
+            return "bad", steps, {}
+        steps = [_fake_step(0, 1, kernel_est=1e-4),
+                 _fake_step(0, 2, kernel_est=1e-4),
+                 _fake_step(0, 3, kernel_est=1e-4)]
+        return "pass1", steps, {1: ("fast",)}
+
+    assert negotiate(compile_fn) == "pass1"
