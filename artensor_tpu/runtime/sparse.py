@@ -213,7 +213,7 @@ def _time_sorted_output(bond_i, bond_j, new_bonds, time_of, big_is_i,
 
 def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                               lane_schedule=True, _hints=None,
-                              negotiate=True):
+                              negotiate=True, lane_max_steps=None):
     # _hints is accepted for backward compatibility and ignored: the
     # round-2 hint fixpoint is superseded by time-ordered layouts (below)
     """Compile the big-batch scheme.
@@ -227,6 +227,11 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
         Target amplitudes as '0'/'1' strings over all final qubits.
     sc_target : float
         log2 memory budget steering cross-vs-aligned and chunking decisions.
+    lane_max_steps : int, optional
+        Scheme-size cutoff above which kernel scheduling is skipped
+        (default ``LANE_SCHEDULE_MAX_STEPS``).  Pod-scale schemes run
+        SEGMENTED, where each compiled program is small, so callers on
+        that path may raise it to kernel-schedule 400+-step schemes.
 
     Returns (steps, output_bonds, bitstrings_sorted).
 
@@ -239,13 +244,15 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     """
     if not lane_schedule or not negotiate:
         steps1, ob1, bits1, _ = _compile_sparse(
-            ctree, bitstrings, sc_target, lane_schedule, None)
+            ctree, bitstrings, sc_target, lane_schedule, None,
+            lane_max_steps)
         return steps1, ob1, bits1
     from .negotiate import negotiate as _negotiate
 
     def compile_fn(overrides):
         steps, ob, bits, req = _compile_sparse(
-            ctree, bitstrings, sc_target, lane_schedule, overrides)
+            ctree, bitstrings, sc_target, lane_schedule, overrides,
+            lane_max_steps)
         return (steps, ob, bits), steps, req
 
     return _negotiate(compile_fn)
@@ -309,14 +316,18 @@ def _layout_request_candidates(ix_x0, ix_w0, iy0, dim_of, h_block,
     return tuple(cands)
 
 
+LANE_SCHEDULE_MAX_STEPS = 300
+
+
 def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
-                    _overrides):
+                    _overrides, lane_max_steps=None):
     order = ctree.to_order_dfs()
-    # pod-scale schemes keep reference-compatible residual orders: the
-    # scheduler's order choices measurably crash this environment's remote
-    # XLA compile helper on 400+-step programs (docs/BENCH_NOTES.md), and
-    # per-step kernel gains are amortized away by segment-compile latency
-    if len(order) > 300:
+    # pod-scale schemes keep reference-compatible residual orders by
+    # default: the scheduler's order choices measurably crash this
+    # environment's remote XLA compile helper on 400+-step MONOLITHIC
+    # programs (docs/BENCH_NOTES.md).  Segmented callers compile small
+    # programs and may raise the cutoff (lane_max_steps).
+    if len(order) > (lane_max_steps or LANE_SCHEDULE_MAX_STEPS):
         lane_schedule = False
     tn = ctree.tn
     dim_of = {b: int(d) for b, d in tn.bond_dims.items()}

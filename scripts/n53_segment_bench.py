@@ -6,6 +6,10 @@ inside run_segmented; this measures the warm rate for a handful of
 slices of the committed sc24 subtask plan.
 
 Usage: python scripts/n53_segment_bench.py [n_slices=8] [slice_batch=4]
+Env:   N53_LANES=1 raises the kernel-scheduling cutoff so the 454-step
+       scheme gets gather-K/pair kernels (41 on the sc24 plan) — the
+       segmented path compiles small per-segment programs, so the
+       monolithic 400+-step compile-crash class does not apply.
 """
 
 import sys
@@ -45,7 +49,9 @@ def main():
             for row in rng.integers(0, 2, size=(1000, circ.n))]
     bits = sorted(set(bits))
     t0 = time.time()
-    steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=24)
+    lane_max = 10000 if os.environ.get("N53_LANES") == "1" else None
+    steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=24,
+                                              lane_max_steps=lane_max)
     print(f"# scheme: {len(steps)} steps "
           f"({sum(1 for s in steps if s.lane is not None)} kernel) "
           f"compiled in {time.time()-t0:.0f}s host-side", flush=True)

@@ -592,3 +592,31 @@ def test_negotiate_never_trades_away_kernels():
         return "pass1", steps, {1: ("fast",)}
 
     assert negotiate(compile_fn) == "pass1"
+
+
+def test_lane_max_steps_threads_through():
+    from artensor_tpu.circuits import TensorNetworkCircuit
+    from artensor_tpu.circuits.random_circuits import random_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.planner import find_order
+    from artensor_tpu.runtime.sparse import contraction_scheme_sparse
+
+    n, layers = random_circuit(3, 3, 6, seed=13)
+    c = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    rng = np.random.default_rng(5)
+    bitstrings = [np.binary_repr(b, n)
+                  for b in rng.choice(2 ** n, 40, replace=False)]
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, max_bitstrings=40, sc_target=6, **PLAN_KW)
+    low, _, _ = contraction_scheme_sparse(
+        ctree, bitstrings, sc_target=6, lane_max_steps=1)
+    off, _, _ = contraction_scheme_sparse(
+        ctree, bitstrings, sc_target=6, lane_schedule=False)
+    assert [s.iy for s in low] == [s.iy for s in off]
+    hi, _, _ = contraction_scheme_sparse(
+        ctree, bitstrings, sc_target=6, lane_max_steps=10000)
+    dflt, _, _ = contraction_scheme_sparse(ctree, bitstrings, sc_target=6)
+    assert [s.iy for s in hi] == [s.iy for s in dflt]
