@@ -34,7 +34,8 @@ HOT_SHARE = 0.02     # a pass-1 XLA step is chain-seed-worthy when its
                      # modeled time exceeds this share of the scheme
 
 
-def negotiate(compile_fn, max_trials=40, chain_budget=100):
+def negotiate(compile_fn, max_trials=40, chain_budget=100,
+              time_budget_s=90.0):
     """Run the override search.
 
     ``compile_fn(overrides_or_None)`` must return
@@ -43,12 +44,26 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100):
     ``requests`` maps producer step index -> tuple of candidate output
     bond orders (friendliest first).  Returns the best ``result`` by
     the calibrated wall estimate.
+
+    ``time_budget_s`` bounds the whole search by wall clock: one
+    compile_fn call costs ~0.15 s on a 1k-bitstring scheme but ~1 s at
+    10k (the batch metadata is rebuilt per trial), so unbounded trial
+    counts would dominate the host-side compile.  Phase 0 (the
+    highest-value accumulation) runs first and each later phase checks
+    the clock.
     """
+    import time as _time
+
     from .metrics import scheme_wall_components, scheme_wall_estimate
 
     res1, steps1, requests = compile_fn(None)
     if not requests:
         return res1
+    t_start = _time.time()
+
+    def _over_budget():
+        return _time.time() - t_start > time_budget_s
+
     est1 = scheme_wall_estimate(steps1, 0)[0]
     eps = est1 * 1e-6
     kern1 = [s.lane is not None for s in steps1]
@@ -68,15 +83,47 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100):
             state["best"], state["best_est"] = res2, est2
         return out
 
+    # ---- phase 0: greedy union of independently-winning single moves -----
+    # Schemes often carry MANY independent pre-transpose removals (the
+    # dense block scheme: 17 requests, 8+ disjoint single-move wins);
+    # best-first alone burns its trial budget scanning one node's
+    # candidates.  Evaluate each request's best single candidate, then
+    # accumulate the winners in ascending-estimate order, keeping each
+    # addition only if the combined scheme still improves.
+    singles = []
+    for t_req, cands in requests.items():
+        if _over_budget():
+            break
+        best_c = None
+        for want in cands:
+            _res2, _s2, _r2, est2, lost = _eval({t_req: want})
+            if not lost and est2 < est1 - eps and (
+                    best_c is None or est2 < best_c[1]):
+                best_c = (want, est2)
+        if best_c is not None:
+            singles.append((best_c[1], t_req, best_c[0]))
+    singles.sort(key=lambda s: s[0])
+    acc0, est0, req0 = {}, est1, requests
+    for _e, t_req, want in singles:
+        if _over_budget():
+            break
+        trial = dict(acc0)
+        trial[t_req] = want
+        _res2, _s2, req2, est2, lost = _eval(trial)
+        if not lost and est2 < est0 - eps:
+            acc0, est0 = trial, est2
+            req0 = dict(requests)
+            req0.update(req2)
+
     # ---- phase 1: best-first over strict wins and washes -----------------
-    seen = {frozenset()}
-    frontier = [(est1, 0, {}, requests)]
+    seen = {frozenset(), frozenset(acc0.items())}
+    frontier = [(est0, 0, acc0, req0)]
     trials = 0
-    while frontier and trials < max_trials:
+    while frontier and trials < max_trials and not _over_budget():
         frontier.sort(key=lambda f: (f[0], len(f[2])))
         est, _, acc, pend = frontier.pop(0)
         for t_req, cands in pend.items():
-            if t_req in acc:
+            if t_req in acc or _over_budget():
                 continue
             for want in cands:
                 trial = dict(acc)
@@ -108,7 +155,7 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100):
     budget = chain_budget
     for t0 in seeds:
         for want0 in requests[t0]:
-            if budget <= 0:
+            if budget <= 0 or _over_budget():
                 break
             budget -= 1
             _r, steps2, req2, est2, lost = _eval({t0: want0})
@@ -121,7 +168,7 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100):
                     if t2 in acc:
                         continue
                     for w2 in cands:
-                        if budget <= 0:
+                        if budget <= 0 or _over_budget():
                             break
                         budget -= 1
                         trial = dict(acc)

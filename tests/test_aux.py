@@ -620,3 +620,23 @@ def test_lane_max_steps_threads_through():
         ctree, bitstrings, sc_target=6, lane_max_steps=10000)
     dflt, _, _ = contraction_scheme_sparse(ctree, bitstrings, sc_target=6)
     assert [s.iy for s in hi] == [s.iy for s in dflt]
+
+
+def test_negotiate_merges_independent_wins():
+    """Phase 0: independently-winning single moves on disjoint steps are
+    accumulated even with no best-first budget (the dense block scheme
+    carries 8+ such pre-transpose removals)."""
+    from artensor_tpu.runtime.negotiate import negotiate
+
+    def compile_fn(ov):
+        ov = ov or {}
+        steps = []
+        for t in (1, 2, 3):
+            # each override independently halves its step's kernel est
+            est = 1e-4 if ov.get(t) == "better" else 2e-4
+            steps.append(_fake_step(0, t, kernel_est=est))
+        requests = {t: ("better",) for t in (1, 2, 3) if t not in ov}
+        return tuple(sorted(ov.items())), steps, requests
+
+    got = negotiate(compile_fn, max_trials=0, chain_budget=0)
+    assert got == ((1, "better"), (2, "better"), (3, "better"))
