@@ -640,3 +640,44 @@ def test_negotiate_merges_independent_wins():
 
     got = negotiate(compile_fn, max_trials=0, chain_budget=0)
     assert got == ((1, "better"), (2, "better"), (3, "better"))
+
+
+def test_sparse_memo_reuse_is_exact():
+    """The cross-trial batch-metadata memo must not change compiled
+    schemes: compiling trial 2 with trial 1's memo gives byte-identical
+    step metadata to a fresh compile."""
+    from artensor_tpu.circuits import TensorNetworkCircuit
+    from artensor_tpu.circuits.random_circuits import random_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.planner import find_order
+    from artensor_tpu.runtime.sparse import _compile_sparse
+
+    n, layers = random_circuit(3, 3, 6, seed=13)
+    c = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    rng = np.random.default_rng(5)
+    bitstrings = [np.binary_repr(b, n)
+                  for b in rng.choice(2 ** n, 40, replace=False)]
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, max_bitstrings=40, sc_target=6, **PLAN_KW)
+    memo = {}
+    s1, _, _, req = _compile_sparse(ctree, bitstrings, 6, True, None,
+                                    _memo=memo)
+    assert memo  # at least one both-batched merge memoized
+    ov = {t: cands[0] for t, cands in list(req.items())[:1]} or None
+    s2_memo, _, _, _ = _compile_sparse(ctree, bitstrings, 6, True, ov,
+                                       _memo=memo)
+    s2_fresh, _, _, _ = _compile_sparse(ctree, bitstrings, 6, True, ov)
+    assert len(s2_memo) == len(s2_fresh)
+    for a, b in zip(s2_memo, s2_fresh):
+        assert a.iy == b.iy and a.ix_i == b.ix_i and a.ix_j == b.ix_j
+        assert (a.post_select is None) == (b.post_select is None)
+        if a.post_select is not None:
+            assert np.array_equal(a.post_select, b.post_select)
+        assert (a.gathers is None) == (b.gathers is None)
+        if a.gathers is not None:
+            for (ga, gb), (ha, hb) in zip(a.gathers, b.gathers):
+                assert np.array_equal(ga, ha) and np.array_equal(gb, hb)
+        assert a.reshape == b.reshape
