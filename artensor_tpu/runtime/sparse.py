@@ -213,7 +213,8 @@ def _time_sorted_output(bond_i, bond_j, new_bonds, time_of, big_is_i,
 
 def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                               lane_schedule=True, _hints=None,
-                              negotiate=True, lane_max_steps=None):
+                              negotiate=True, lane_max_steps=None,
+                              fuse=True):
     # _hints is accepted for backward compatibility and ignored: the
     # round-2 hint fixpoint is superseded by time-ordered layouts (below)
     """Compile the big-batch scheme.
@@ -242,10 +243,53 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     then plans the kernel in place and the transpose disappears.  The
     cheaper scheme by the calibrated wall estimate wins.
     """
+    order = None
+    if fuse and lane_schedule:
+        # reassociate small-operand chains so the big carrier is swept
+        # once per combined gate block instead of once per gate
+        # (runtime/fuse.py).  Every candidate rewrite is arbitrated by
+        # the COMPILED scheme's wall estimate — the pass's internal
+        # traffic model generates candidates but cannot see kernel
+        # eligibility or layout effects.  Deterministic, so the
+        # negotiation overrides and memo stay index-stable.
+        import numpy as np
+
+        from .fuse import reassociate_small_chains
+        from .metrics import scheme_wall_estimate
+
+        tn = ctree.tn
+        final_qubits = list(tn.final_qubits)
+        if isinstance(tn.final_qubits, (set, frozenset)):
+            final_qubits = sorted(final_qubits)
+        targets = np.array([[int(c) for c in s] for s in bitstrings],
+                           dtype=np.uint8)
+
+        def est_of(o):
+            s, *_ = _compile_sparse(ctree, bitstrings, sc_target,
+                                    lane_schedule, None, lane_max_steps,
+                                    _order=o)
+            return scheme_wall_estimate(s, 0)[0]
+
+        state = {"est": est_of(None)}
+
+        def accept(cand):
+            e = est_of(cand)
+            if e < state["est"]:
+                state["est"] = e
+                return True
+            return False
+
+        order = reassociate_small_chains(
+            ctree.to_order_dfs(), tn.tensor_bonds, tn.bond_dims,
+            targets=targets,
+            qubit_of_tensor={tid: (q,) for q, tid
+                             in enumerate(final_qubits)},
+            accept=accept)
+
     if not lane_schedule or not negotiate:
         steps1, ob1, bits1, _ = _compile_sparse(
             ctree, bitstrings, sc_target, lane_schedule, None,
-            lane_max_steps)
+            lane_max_steps, _order=order)
         return steps1, ob1, bits1
     from .negotiate import negotiate as _negotiate
 
@@ -254,7 +298,7 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     def compile_fn(overrides):
         steps, ob, bits, req = _compile_sparse(
             ctree, bitstrings, sc_target, lane_schedule, overrides,
-            lane_max_steps, _memo=memo)
+            lane_max_steps, _memo=memo, _order=order)
         return (steps, ob, bits), steps, req
 
     return _negotiate(compile_fn)
@@ -322,8 +366,9 @@ LANE_SCHEDULE_MAX_STEPS = 300
 
 
 def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
-                    _overrides, lane_max_steps=None, _memo=None):
-    order = ctree.to_order_dfs()
+                    _overrides, lane_max_steps=None, _memo=None,
+                    _order=None):
+    order = _order if _order is not None else ctree.to_order_dfs()
     # pod-scale schemes keep reference-compatible residual orders by
     # default: the scheduler's order choices measurably crash this
     # environment's remote XLA compile helper on 400+-step MONOLITHIC
@@ -615,6 +660,35 @@ def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
                             if c != tuple(new_bonds))
                         if cands:
                             requests[t] = cands
+                if (lane is None and "h-contig" in note
+                        and t not in (_overrides or {})
+                        and t not in requests):
+                    # time-sorting scattered the small operand's fresh
+                    # legs (the gather-K H block must be iy-contiguous,
+                    # common on FUSED gate blocks whose fresh legs have
+                    # different contract times): request this step's own
+                    # order with the H legs grouped at their first
+                    # occurrence — negotiation judges downstream effects
+                    big_i = _prod_dims(dim_of, bond_i) * (
+                        len(rep_i) if batched_i else 1) >= \
+                        _prod_dims(dim_of, bond_j) * (
+                        len(rep_j) if batched_j else 1)
+                    wb = (set(bond_j) - set(bond_i)) if big_i \
+                        else (set(bond_i) - set(bond_j))
+                    hs = [l for l in new_bonds if l in wb]
+                    if 0 < len(hs) < len(new_bonds):
+                        rest = [l for l in new_bonds if l not in wb]
+                        if batched_i != batched_j:
+                            # iy leads with the batch axis, which counts
+                            # as a fresh W leg too: the bond H legs must
+                            # sit directly after it
+                            pos = 0
+                        else:
+                            pos = sum(1 for l in new_bonds[
+                                :new_bonds.index(hs[0])] if l not in wb)
+                        cand = tuple(rest[:pos] + hs + rest[pos:])
+                        if cand != tuple(new_bonds):
+                            requests[t] = (cand,)
         from .gatherk import GKPlan as _GKPlan
         if (isinstance(lane, _GKPlan)
                 and lane.pre is not None and lane.px is not None

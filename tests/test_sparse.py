@@ -192,17 +192,21 @@ def test_negotiation_invariants_on_headline_plan():
     bits = [np.binary_repr(i, 30) for i in range(256)]
     steps1, ob1, bs1, req = _compile_sparse(ctree, bits, 22, True, None)
     assert req, "headline plan should generate layout requests"
+    # pass-1 baseline on the SAME (fused) order the pipeline negotiates
+    steps0, ob0, bs0 = contraction_scheme_sparse(ctree, bits, sc_target=22,
+                                                 negotiate=False)
     steps2, ob2, bs2 = contraction_scheme_sparse(ctree, bits, sc_target=22)
     est1 = mt.scheme_wall_estimate(steps1, 0)[0]
+    est0 = mt.scheme_wall_estimate(steps0, 0)[0]
     est2 = mt.scheme_wall_estimate(steps2, 0)[0]
-    assert est2 <= est1 * (1 + 1e-9)
-    assert len(steps1) == len(steps2)
-    for a, b in zip(steps1, steps2):
+    assert est2 <= min(est0, est1) * (1 + 1e-9)
+    assert len(steps0) == len(steps2)
+    for a, b in zip(steps0, steps2):
         assert (a.i, a.j) == (b.i, b.j)
         if a.lane is not None:
             assert b.lane is not None   # hard guard: no kernel lost
-    assert set(ob1) == set(ob2)
-    assert bs1 == bs2
+    assert set(ob0) == set(ob2) == set(ob1)
+    assert bs0 == bs2 == bs1
 
 
 @pytest.mark.skipif(not os.path.exists(PLAN_SC22), reason="plan absent")
