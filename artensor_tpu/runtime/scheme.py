@@ -68,7 +68,8 @@ def make_dense_step(i, j, ix_i, ix_j, iy, dims_i, dims_j, lane=None):
                      tuple(dims_i), tuple(dims_j), low, lane)
 
 
-def contraction_scheme(ctree, lane_schedule=True, negotiate=True):
+def contraction_scheme(ctree, lane_schedule=True, negotiate=True,
+                       fuse=True):
     """Dense (full-amplitude) scheme.
 
     Returns ``(steps, output_bonds)``: the steps list and the bond labels of
@@ -83,12 +84,43 @@ def contraction_scheme(ctree, lane_schedule=True, negotiate=True):
     both-big pair kernel, then the pre-permuted gather-K form — whose
     explicit transposes producer-order negotiation (runtime/negotiate.py)
     then tries to remove, exactly as in the sparse compiler.
+
+    ``fuse``: reassociate small-operand chains (runtime/fuse.py) so the
+    big carrier is swept once per combined gate block; each rewrite is
+    arbitrated by the compiled scheme's wall estimate.
     """
     if not lane_schedule or not negotiate \
             or len(ctree.tn.tensor_bonds) > 300:
         steps, ob, _ = _compile_dense(ctree, lane_schedule, None)
         return steps, ob
     from .negotiate import negotiate as _negotiate
+
+    if fuse:
+        from ..planner.tree import ContractionTree
+        from .fuse import reassociate_small_chains
+        from .metrics import scheme_wall_estimate
+
+        tn = ctree.tn
+
+        def est_of(ct):
+            s, _ob, _req = _compile_dense(ct, lane_schedule, None)
+            return scheme_wall_estimate(s, 0)[0]
+
+        state = {"est": est_of(ctree)}
+
+        def accept(cand):
+            ct2 = ContractionTree(tn, cand)
+            e = est_of(ct2)
+            if e < state["est"]:
+                state["est"] = e
+                return True
+            return False
+
+        fused = reassociate_small_chains(
+            ctree.to_order_dfs(), tn.tensor_bonds, tn.bond_dims,
+            accept=accept)
+        if fused != [tuple(p) for p in ctree.to_order_dfs()]:
+            ctree = ContractionTree(tn, fused)
 
     def compile_fn(overrides):
         steps, ob, req = _compile_dense(ctree, lane_schedule, overrides)

@@ -467,7 +467,8 @@ def test_dense_negotiation_invariants_on_block_plan():
     _, _, ctree = plan_io.load_plan(path)
     s1, ob1, req = _compile_dense(ctree, True, None)
     assert req, "block plan should generate layout requests"
-    s2, ob2 = contraction_scheme(ctree)
+    # negotiation-only invariants (fusion off: it reorders pairs)
+    s2, ob2 = contraction_scheme(ctree, fuse=False)
     assert mt.scheme_wall_estimate(s2, 0)[0] \
         <= mt.scheme_wall_estimate(s1, 0)[0] * (1 + 1e-9)
     assert len(s1) == len(s2)
@@ -476,3 +477,9 @@ def test_dense_negotiation_invariants_on_block_plan():
         if a.lane is not None:
             assert b.lane is not None
     assert set(ob1) == set(ob2)
+    # fusion must only ever improve the compiled estimate (each rewrite
+    # is arbitrated against it) and keep the output bond set
+    s3, ob3 = contraction_scheme(ctree)
+    assert mt.scheme_wall_estimate(s3, 0)[0] \
+        <= mt.scheme_wall_estimate(s2, 0)[0] * (1 + 1e-9)
+    assert set(ob3) == set(ob2)
