@@ -33,10 +33,9 @@ overrides and memo stable.
 from functools import reduce
 from operator import mul
 
-HBM_BYTES_PER_S = 450e9
-MXU_FLOPS_PER_S = 28.6e12
-W_CAP = 1 << 14          # merged small-tensor elements (gather-K HK_CAP)
-MIN_X_ELEMS = 1 << 16    # carrier size for a step to count as a sweep
+from .gatherk import (HBM_BYTES_PER_S, HK_CAP as W_CAP, MIN_X_ELEMS,
+                      MXU_FLOPS_PER_S)
+
 COMPUTE_SLACK = 1.3      # merged step must stay (nearly) traffic-bound
 MAX_REWRITES = 64
 
@@ -125,7 +124,7 @@ def _try_rewrite(order, t, sim):
     # cost of the sweep being deferred (for the est gate)
     x_bonds = list(sim.bonds[xid])
     set_x = set(x_bonds)
-    y1 = sim.copy().apply(a1, b1)
+    y1 = sim.result_bonds(a1, b1)
     y1_el = _prod(dim_of[x] for x in y1) \
         * sim.rep_count(sim.qubits[a1] | sim.qubits[b1])
     k1 = _prod(dim_of[x] for x in (set_x & set_w1) - set(y1))
@@ -163,13 +162,17 @@ def _try_rewrite(order, t, sim):
             ok = 0 < w2_el <= W_CAP
         if ok:
             set_w2 = set(w2_bonds)
-            # original sweep at u read the carrier WITH W1 applied;
-            # approximate its input size by the deferred carrier size
-            cur_x_el = max(fwd.size(r1), y1_el) if r1 == xid else y1_el
+            # deferred carrier size at u (the merged sweep's true input);
+            # the ORIGINAL sweep at u read it with W1 already applied,
+            # i.e. scaled by W1's growth factor
+            x_def = fwd.size(r1) if r1 == xid else x_el
+            orig2_in = max(x_def * growth, y1_el)
             common_w = set_w1 & set_w2
+            # a bond held by w1, w2 AND a third live tensor (the carrier
+            # included — hyper-bonds) stays open at the wmerge
             still_w = {bo for bo in common_w
                        if any(bo in fwd.bonds[t3] for t3 in fwd.bonds
-                              if t3 not in (w1, w2, r1)
+                              if t3 not in (w1, w2)
                               and fwd.bonds[t3])}
             wm = [bo for bo in w1_bonds
                   if bo not in common_w or bo in still_w]
@@ -201,9 +204,9 @@ def _try_rewrite(order, t, sim):
             h2 = max(w2_el // max(k2, 1), 1)
             if wm_el <= W_CAP and km > 1:
                 hm = max(wm_el // km, 1)
-                before = sweep1 + _sweep_cost(cur_x_el, y2_el, w2_el,
+                before = sweep1 + _sweep_cost(orig2_in, y2_el, w2_el,
                                               k2, h2)[0] + inter_bonus
-                est_m, traf_m, comp_m = _sweep_cost(x_el, y2_el,
+                est_m, traf_m, comp_m = _sweep_cost(x_def, y2_el,
                                                     wm_el, km, hm)
                 if est_m < before and comp_m <= COMPUTE_SLACK * traf_m:
                     # rewrite: drop t; insert [wmerge, final] at u.

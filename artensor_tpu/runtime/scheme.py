@@ -106,9 +106,11 @@ def contraction_scheme(ctree, lane_schedule=True, negotiate=True,
             s, _ob, _req = _compile_dense(ct, lane_schedule, None)
             return scheme_wall_estimate(s, 0)[0]
 
-        state = {"est": est_of(ctree)}
+        state = {}
 
         def accept(cand):
+            if "est" not in state:      # lazy: no candidates, no compile
+                state["est"] = est_of(ctree)
             ct2 = ContractionTree(tn, cand)
             e = est_of(ct2)
             if e < state["est"]:

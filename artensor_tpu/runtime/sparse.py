@@ -244,14 +244,19 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
     cheaper scheme by the calibrated wall estimate wins.
     """
     order = None
-    if fuse and lane_schedule:
+    base_order = ctree.to_order_dfs()
+    if fuse and lane_schedule and len(base_order) <= (
+            lane_max_steps or LANE_SCHEDULE_MAX_STEPS):
         # reassociate small-operand chains so the big carrier is swept
         # once per combined gate block instead of once per gate
         # (runtime/fuse.py).  Every candidate rewrite is arbitrated by
         # the COMPILED scheme's wall estimate — the pass's internal
         # traffic model generates candidates but cannot see kernel
         # eligibility or layout effects.  Deterministic, so the
-        # negotiation overrides and memo stay index-stable.
+        # negotiation overrides and memo stay index-stable.  Gated by
+        # the same step-count cutoff as kernel scheduling: pod-scale
+        # MONOLITHIC programs must keep reference-compatible orders
+        # (segmented callers raise lane_max_steps).
         import numpy as np
 
         from .fuse import reassociate_small_chains
@@ -270,9 +275,11 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
                                     _order=o)
             return scheme_wall_estimate(s, 0)[0]
 
-        state = {"est": est_of(None)}
+        state = {}
 
         def accept(cand):
+            if "est" not in state:      # lazy: no candidates, no compile
+                state["est"] = est_of(None)
             e = est_of(cand)
             if e < state["est"]:
                 state["est"] = e
@@ -280,7 +287,7 @@ def contraction_scheme_sparse(ctree, bitstrings, sc_target=31,
             return False
 
         order = reassociate_small_chains(
-            ctree.to_order_dfs(), tn.tensor_bonds, tn.bond_dims,
+            base_order, tn.tensor_bonds, tn.bond_dims,
             targets=targets,
             qubit_of_tensor={tid: (q,) for q, tid
                              in enumerate(final_qubits)},
