@@ -59,29 +59,32 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
     res1, steps1, requests = compile_fn(None)
     if not requests:
         return res1
-    t_start = _time.time()
+    t_start = _time.monotonic()
 
     def _over_budget():
-        return _time.time() - t_start > time_budget_s
+        return _time.monotonic() - t_start > time_budget_s
 
     est1 = scheme_wall_estimate(steps1, 0)[0]
     eps = est1 * 1e-6
     kern1 = [s.lane is not None for s in steps1]
-    state = {"best": res1, "best_est": est1}
+    state = {"best": res1, "best_est": est1, "compiles": 0}
     cache = {}
 
     def _eval(trial):
+        """Returns (res, steps, req, est, lost, compiled) — ``compiled``
+        False on a cache hit, so budgets only count real work."""
         key = frozenset(trial.items())
         if key in cache:
-            return cache[key]
+            return cache[key] + (False,)
         res2, steps2, req2 = compile_fn(trial)
+        state["compiles"] += 1
         lost = any(k and s.lane is None for k, s in zip(kern1, steps2))
         est2 = scheme_wall_estimate(steps2, 0)[0]
         out = (res2, steps2, req2, est2, lost)
         cache[key] = out
         if not lost and est2 < state["best_est"] - eps:
             state["best"], state["best_est"] = res2, est2
-        return out
+        return out + (True,)
 
     # ---- phase 0: greedy union of independently-winning single moves -----
     # Schemes often carry MANY independent pre-transpose removals (the
@@ -96,7 +99,9 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
             break
         best_c = None
         for want in cands:
-            _res2, _s2, _r2, est2, lost = _eval({t_req: want})
+            if _over_budget():
+                break
+            _res2, _s2, _r2, est2, lost, _c = _eval({t_req: want})
             if not lost and est2 < est1 - eps and (
                     best_c is None or est2 < best_c[1]):
                 best_c = (want, est2)
@@ -109,31 +114,43 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
             break
         trial = dict(acc0)
         trial[t_req] = want
-        _res2, _s2, req2, est2, lost = _eval(trial)
+        _res2, _s2, req2, est2, lost, _c = _eval(trial)
         if not lost and est2 < est0 - eps:
             acc0, est0 = trial, est2
             req0 = dict(requests)
             req0.update(req2)
 
     # ---- phase 1: best-first over strict wins and washes -----------------
+    # both the accumulated phase-0 state AND the bare root stay on the
+    # frontier: a phase-0 single win through a step must not shadow a
+    # different candidate of the same step whose chain resolves better
     seen = {frozenset(), frozenset(acc0.items())}
     frontier = [(est0, 0, acc0, req0)]
+    if acc0:
+        frontier.append((est1, 0, {}, requests))
     trials = 0
-    while frontier and trials < max_trials and not _over_budget():
-        frontier.sort(key=lambda f: (f[0], len(f[2])))
+    stop = False
+    while frontier and not stop:
+        frontier.sort(key=lambda f: (f[0], f[1], len(f[2])))
         est, _, acc, pend = frontier.pop(0)
         for t_req, cands in pend.items():
-            if t_req in acc or _over_budget():
+            if t_req in acc:
                 continue
+            if stop:
+                break
             for want in cands:
+                if trials >= max_trials or _over_budget():
+                    stop = True
+                    break
                 trial = dict(acc)
                 trial[t_req] = want
                 key = frozenset(trial.items())
                 if key in seen:
                     continue
                 seen.add(key)
-                trials += 1
-                _res2, steps2, req2, est2, lost = _eval(trial)
+                _res2, steps2, req2, est2, lost, compiled = _eval(trial)
+                if compiled:
+                    trials += 1
                 if lost or est2 > est + eps:
                     continue
                 merged = dict(pend)
@@ -157,12 +174,27 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
         for want0 in requests[t0]:
             if budget <= 0 or _over_budget():
                 break
-            budget -= 1
-            _r, steps2, req2, est2, lost = _eval({t0: want0})
+            _r, steps2, req2, est2, lost, compiled = _eval({t0: want0})
+            if compiled:
+                budget -= 1
             if lost or steps2[t0].lane is None or est2 > est1 * 1.05:
                 continue        # the seed must actually unlock the kernel
-            acc, pend, est = {t0: want0}, req2, est2
-            for _hop in range(6):
+            # chain on TOP of phase 0's accumulated wins (independent
+            # wins and the chain compose; the seed alone rarely beats
+            # the accumulated state)
+            trial0 = dict(acc0)
+            trial0[t0] = want0
+            _r, steps2, req2b, est2b, lost2b, compiled = _eval(trial0)
+            if compiled:
+                budget -= 1
+            if not lost2b and steps2[t0].lane is not None \
+                    and est2b <= est2 + eps:
+                acc, pend, est = trial0, dict(req0), est2b
+                pend.update(req2b)
+            else:
+                acc, pend, est = {t0: want0}, req2, est2
+            washes = 0
+            for _hop in range(8):
                 move = None
                 for t2, cands in pend.items():
                     if t2 in acc:
@@ -170,15 +202,25 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
                     for w2 in cands:
                         if budget <= 0 or _over_budget():
                             break
-                        budget -= 1
                         trial = dict(acc)
                         trial[t2] = w2
-                        _r3, _s3, req3, est3, lost3 = _eval(trial)
+                        _r3, _s3, req3, est3, lost3, compiled = \
+                            _eval(trial)
+                        if compiled:
+                            budget -= 1
                         if lost3:
                             continue
                         if move is None or est3 < move[2]:
                             move = (trial, req3, est3)
-                if move is None or move[2] >= est - eps or budget <= 0:
+                if move is None or budget <= 0:
+                    break
+                if move[2] < est - eps:
+                    washes = 0
+                elif move[2] <= est + eps and washes < 2:
+                    # allow a bounded run of washes: relocated
+                    # pre-transposes often resolve one link further up
+                    washes += 1
+                else:
                     break
                 acc, pend, est = move
     return state["best"]
