@@ -30,6 +30,62 @@ def stage_tensors(field, arrays):
     return out
 
 
+def precompute_static_steps(steps, arrays, slicing_axes=(),
+                            max_elems=1 << 18):
+    """Evaluate slice-independent, batch-free steps on the host and drop
+    them from the device program.
+
+    After gate-block fusion most of a scheme's steps are tiny merges of
+    gate tensors that no sliced bond or amplitude batch ever touches —
+    identical for every slice.  Folding them at staging time removes
+    their per-step overhead from the compiled scan body (the measured
+    fixed cost per step is the width-amortized term of the wall
+    estimator) and shrinks trace/compile time.  The reference executes
+    every step per slice from Python (/root/reference/artensor/
+    simulation.py:203-210).
+
+    A step folds when neither operand is DYNAMIC (dynamic = carries a
+    sliced bond per ``slicing_axes``, carries an amplitude batch — its
+    array rank then disagrees with the step's leg count — or was
+    produced by a dynamic step) and both operands are small.  Returns
+    ``(remaining_steps, arrays2)``; ``arrays2`` holds folded results in
+    the producing slots (consumed slots are shrunk to scalars so they
+    stage for free).
+    """
+    import numpy as np
+
+    dyn = {tid for spec in slicing_axes for (tid, _a, _d, _p) in spec}
+    arrays = [np.asarray(a) for a in arrays]
+    out = []
+    for n_s, s in enumerate(steps):
+        i, j = s.i, s.j
+        # the FINAL step always runs on device: the executors return the
+        # last step's result slot, and a fully-folded scheme would leave
+        # them nothing to produce it from
+        ok = (n_s < len(steps) - 1
+              and i not in dyn and j not in dyn
+              and getattr(s, "gathers", None) is None
+              and getattr(s, "reshape", None) is None
+              and getattr(s, "post_select", None) is None
+              and i < len(arrays) and j < len(arrays))
+        if ok:
+            ti, tj = arrays[i], arrays[j]
+            ok = (ti.ndim == len(s.ix_i) and tj.ndim == len(s.ix_j)
+                  and ti.size <= max_elems and tj.size <= max_elems)
+        if not ok:
+            dyn.add(i)
+            out.append(s)
+            continue
+        res = np.einsum(ti, list(s.ix_i), tj, list(s.ix_j), list(s.iy))
+        if res.size > max_elems:
+            dyn.add(i)
+            out.append(s)
+            continue
+        arrays[i] = np.ascontiguousarray(res)
+        arrays[j] = np.zeros((), dtype=arrays[j].dtype)  # dead slot
+    return out, arrays
+
+
 def apply_dense_step(field, x, y, s):
     if getattr(s, "lane", None) is not None \
             and getattr(field, "supports_lanes", False):

@@ -104,8 +104,11 @@ def main():
         prune_lane_plans(steps, cap=int(cap))
     field = make_field(np.complex64,
                        os.environ.get("BENCH_PRECISION", "highest"), "split")
-    staged = stage_tensors(field, [ntn.tensors[i] for i in range(len(ntn.tensors))])
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    from artensor_tpu.runtime.executor import precompute_static_steps
+    steps, host_arrays = precompute_static_steps(
+        steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
+    staged = stage_tensors(field, host_arrays)
     k = len(sliced)
     width = int(os.environ.get("BENCH_WIDTH", "128"))
     while (2 ** k) % width:        # largest dividing power of two

@@ -37,7 +37,8 @@ def main():
 
     plan = sys.argv[1] if len(sys.argv) > 1 else "plans/n30_m14_sparse_sc22.json"
     n_bits = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    sc_target = float(plan.rsplit("sc", 1)[1].split(".")[0])
+    import re as _re
+    sc_target = float(_re.search(r"sc(\d+)", plan).group(1))
 
     with open(REF_AMPLITUDES) as f:
         bitstrings = [ln.split()[0] for ln in f if ln.strip()][:n_bits]

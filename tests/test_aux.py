@@ -681,3 +681,25 @@ def test_sparse_memo_reuse_is_exact():
             for (ga, gb), (ha, hb) in zip(a.gathers, b.gathers):
                 assert np.array_equal(ga, ha) and np.array_equal(gb, hb)
         assert a.reshape == b.reshape
+
+
+def test_precompute_static_steps(sparse_scheme):
+    """Host folding of slice-independent steps: the reduced program
+    produces the same amplitudes, sliced/batched steps never fold, and
+    the final step always stays on device."""
+    from artensor_tpu.runtime.executor import precompute_static_steps
+    from artensor_tpu.runtime.sparse import execute_sparse
+
+    ntn, steps, axes, k, bits_sorted, want = sparse_scheme
+    arrays0 = [ntn.tensors[i] for i in range(len(ntn.tensors))]
+    run_steps, arrays = precompute_static_steps(steps, arrays0, axes)
+    assert run_steps, "final step must remain"
+    assert run_steps[-1] is steps[-1]
+    assert len(run_steps) < len(steps)   # something folded
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field, arrays)
+    run = jax.jit(make_sliced_runner(
+        execute_sparse, run_steps, axes, k, (len(bits_sorted),), field))
+    got = field.unwrap(run(staged))
+    for amp, bs in zip(np.asarray(got), bits_sorted):
+        assert abs(amp - want[int(bs, 2)]) < 2e-6, bs
