@@ -54,8 +54,11 @@ def main():
     axes = build_slicing_axes(tb2, chosen + sliced, bond_dims=ntn.bond_dims)
     k = 6 + len(sliced)
     field = make_field(np.complex64, "highest", "split")
-    staged = jax.device_put(stage_tensors(
-        field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
+    from artensor_tpu.runtime.executor import precompute_static_steps
+    steps, host_arrays = precompute_static_steps(
+        steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
+    print(f"# folded to {len(steps)} device steps", flush=True)
+    staged = jax.device_put(stage_tensors(field, host_arrays))
     run = jax.jit(make_sliced_runner(
         execute_dense, steps, axes, k, (2,) * len(out_bonds), field))
     # norm reduced ON DEVICE: pulling a 2^24-element block through the

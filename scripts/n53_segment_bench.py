@@ -59,8 +59,11 @@ def main():
                               bond_dims=ntn.bond_dims)
     k = len(sliced)
     field = make_field(np.complex64, "highest", "split")
-    staged = jax.device_put(stage_tensors(
-        field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
+    from artensor_tpu.runtime.executor import precompute_static_steps
+    steps, host_arrays = precompute_static_steps(
+        steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
+    print(f"# folded to {len(steps)} device steps", flush=True)
+    staged = jax.device_put(stage_tensors(field, host_arrays))
     marks = [time.time()]
 
     def progress(done, total):

@@ -65,9 +65,13 @@ def main():
     steps, ob, bits_sorted = contraction_scheme_sparse(
         ctree, bitstrings, sc_target=sc)
     k = len(sliced)
+    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    from artensor_tpu.runtime.executor import precompute_static_steps
+    steps, host_arrays = precompute_static_steps(
+        steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
     est, w_est, peak = mt.scheme_wall_estimate(steps, k)
     print(f"plan={plan} k={k} est={est:.3f}s@w{w_est} "
-          f"peak={peak / 1e9:.2f}GB/slice")
+          f"steps={len(steps)} peak={peak / 1e9:.2f}GB/slice")
     if not widths:
         widths = sorted({w for w in (1, 2, 4, 8, 16, 32, 64, 128)
                          if w <= min(2 ** k, w_est)})
@@ -76,9 +80,7 @@ def main():
               "bytes_per_slice": bytes_ps, "n_steps": n_steps,
               "points": []}
     field = make_field(np.complex64, "highest", "split")
-    staged = stage_tensors(field,
-                           [ntn.tensors[i] for i in range(len(ntn.tensors))])
-    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    staged = stage_tensors(field, host_arrays)
     staged = jax.device_put(staged)
     for w in widths:
         if (2 ** k) % w:
