@@ -461,8 +461,10 @@ def _sharded_methods():
         steps, axes, chosen, output_bonds, k_sum, restore = _dense_shard_setup(
             self, d_out)
         try:
-            staged = ex.stage_tensors(
-                field, [self.tensors[i] for i in range(len(self.tensors))])
+            steps, host_arrays = ex.precompute_static_steps(
+                steps, [self.tensors[i] for i in range(len(self.tensors))],
+                axes)
+            staged = ex.stage_tensors(field, host_arrays)
             local_shape = (2,) * len(output_bonds)
             res = run_output_sharded(
                 staged, steps, axes, d_out, k_sum,
@@ -498,8 +500,10 @@ def _sharded_methods():
         steps, axes, chosen, output_bonds, k, restore = _dense_shard_setup(
             self, d_out)
         try:
-            staged = ex.stage_tensors(
-                field, [self.tensors[i] for i in range(len(self.tensors))])
+            steps, host_arrays = ex.precompute_static_steps(
+                steps, [self.tensors[i] for i in range(len(self.tensors))],
+                axes)
+            staged = ex.stage_tensors(field, host_arrays)
             local_shape = (2,) * len(output_bonds)
             run = jax.jit(ex.make_sliced_runner(
                 ex.execute_dense, steps, axes, d_out + k, local_shape, field))
