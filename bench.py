@@ -96,8 +96,9 @@ def main():
     order, sliced, ctree = plan_io.load_plan(PLAN)
     m = re.search(r"sc(\d+)", PLAN)
     sc_t = float(m.group(1)) if m else 22.0
-    steps, out_bonds, bits_sorted = contraction_scheme_sparse(
-        ctree, bitstrings, sc_target=sc_t)
+    from artensor_tpu.runtime.scheme_cache import cached_scheme_sparse
+    steps, out_bonds, bits_sorted = cached_scheme_sparse(
+        PLAN, ctree, bitstrings, sc_target=sc_t)
     cap = os.environ.get("BENCH_KERNEL_CAP")
     if cap is not None:
         from artensor_tpu.runtime.lanes import prune_lane_plans

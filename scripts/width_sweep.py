@@ -62,8 +62,9 @@ def main():
     tb2, fq2 = ntn.simplify("sparse")
     order, sliced, ctree = plan_io.load_plan(plan)
     sc = float(plan.rsplit("sc", 1)[1].split("_")[0].split(".")[0])
-    steps, ob, bits_sorted = contraction_scheme_sparse(
-        ctree, bitstrings, sc_target=sc)
+    from artensor_tpu.runtime.scheme_cache import cached_scheme_sparse
+    steps, ob, bits_sorted = cached_scheme_sparse(
+        plan, ctree, bitstrings, sc_target=sc)
     k = len(sliced)
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
     from artensor_tpu.runtime.executor import precompute_static_steps

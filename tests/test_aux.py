@@ -703,3 +703,39 @@ def test_precompute_static_steps(sparse_scheme):
     got = field.unwrap(run(staged))
     for amp, bs in zip(np.asarray(got), bits_sorted):
         assert abs(amp - want[int(bs, 2)]) < 2e-6, bs
+
+
+def test_scheme_cache_roundtrip(tmp_path, monkeypatch):
+    """The pickled scheme reproduces the fresh compile exactly and a
+    compiler-source edit would change the key (hash covers the code)."""
+    from artensor_tpu.circuits import TensorNetworkCircuit
+    from artensor_tpu.circuits.random_circuits import random_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.planner import find_order
+    from artensor_tpu.runtime import scheme_cache as scc
+
+    monkeypatch.setenv("ARTENSOR_TPU_SCHEME_CACHE", str(tmp_path / "sc"))
+    n, layers = random_circuit(3, 3, 6, seed=13)
+    c = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = c.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    rng = np.random.default_rng(5)
+    bits = [np.binary_repr(b, n) for b in rng.choice(2 ** n, 30,
+                                                     replace=False)]
+    order, sliced, ctree = find_order(
+        tb2, ntn.bond_dims, fq2, max_bitstrings=30, sc_target=6, **PLAN_KW)
+    plan_path = tmp_path / "p.json"
+    plan_io.save_plan(plan_path, ctree)
+    s1, ob1, bs1 = scc.cached_scheme_sparse(plan_path, ctree, bits, 6)
+    assert len(os.listdir(tmp_path / "sc")) == 1
+    s2, ob2, bs2 = scc.cached_scheme_sparse(plan_path, ctree, bits, 6)
+    assert ob1 == ob2 and bs1 == bs2 and len(s1) == len(s2)
+    for a, b in zip(s1, s2):
+        assert a.iy == b.iy and (a.i, a.j) == (b.i, b.j)
+        assert (a.lane is None) == (b.lane is None)
+    # different bitstrings -> different key, no false hit
+    bits3 = bits[:20]
+    s3, _, bs3 = scc.cached_scheme_sparse(plan_path, ctree, bits3, 6)
+    assert len(os.listdir(tmp_path / "sc")) == 2
+    assert len(bs3) == len(set(bits3))
