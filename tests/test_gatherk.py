@@ -6,6 +6,8 @@ scattered contract legs, merged g runs, pinned batch legs, H placement,
 the H == 1 degenerate form, and the MXU contiguous-K path.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -430,3 +432,86 @@ def test_all_repo_plan_schemes_fit_vmem_budget():
                 assert plan_window_bytes(s.lane) <= GK_VMEM_BUDGET, path
                 checked += 1
     assert checked > 10
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/examples/"
+                       "circuit_n30_m14_s0_e0_pEFGH.py"),
+    reason="reference data absent")
+def test_headline_scheme_kernel_steps_oracle():
+    """Every DISTINCT kernel signature of the fused+negotiated headline
+    scheme verifies against the einsum oracle in interpret mode — the
+    fused gate blocks create K/H combinations (up to 128x128) that no
+    smaller circuit exercises."""
+    import time
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.runtime.executor import stage_tensors
+    from artensor_tpu.runtime.gatherk import GKPlan, apply_gk_step
+    from artensor_tpu.runtime.lanes import PairPlan, apply_pair_step
+    from artensor_tpu.runtime.lowering import _prod
+    from artensor_tpu.runtime.scheme_cache import cached_scheme_sparse
+
+    plan_path = os.path.join(os.path.dirname(__file__), "..", "plans",
+                             "n30_m14_sparse_sc22.json")
+    if not os.path.exists(plan_path):
+        pytest.skip("plan absent")
+    with open("/root/reference/examples/"
+              "amplitudes_n30_m14_s0_e0_pEFGH_10000.txt") as f:
+        bitstrings = [ln.split()[0] for ln in f if ln.strip()][:1000]
+    n, layers = load_cirq_circuit(
+        "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py")
+    circ = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    ntn.simplify("sparse")
+    order, sliced, ctree = plan_io.load_plan(plan_path)
+    steps, _, _ = cached_scheme_sparse(plan_path, ctree, bitstrings, 22.0)
+    field = make_field(np.complex64, "highest", "split")
+    rng = np.random.default_rng(0)
+    seen = set()
+    checked = 0
+    for s in steps:
+        ln = s.lane
+        if ln is None:
+            continue
+        sig = (type(ln).__name__, getattr(ln, "K", None),
+               getattr(ln, "H", None), getattr(ln, "fm", None),
+               getattr(ln, "qb", None), getattr(ln, "gt", None),
+               getattr(ln, "pre", None) is None,
+               getattr(ln, "use_mxu", None))
+        if sig in seen:
+            continue
+        seen.add(sig)
+        low = s.lowered
+        swapped = getattr(low, "swapped", False)
+        size_i = _prod(low.shape_r if swapped else low.shape_l)
+        size_j = _prod(low.shape_l if swapped else low.shape_r)
+
+        def dims_for(ix, size):
+            if 2 ** len(ix) == size:
+                return (2,) * len(ix)
+            return (size // 2 ** (len(ix) - 1),) + (2,) * (len(ix) - 1)
+
+        dims_i = dims_for(s.ix_i, size_i)
+        dims_j = dims_for(s.ix_j, size_j)
+        xi = (rng.standard_normal(dims_i)
+              + 1j * rng.standard_normal(dims_i)).astype(np.complex64)
+        xj = (rng.standard_normal(dims_j)
+              + 1j * rng.standard_normal(dims_j)).astype(np.complex64)
+        want = np.einsum(xi, list(s.ix_i), xj, list(s.ix_j), list(s.iy),
+                         optimize=True)
+        sx, sy = stage_tensors(field, [xi, xj])
+        if isinstance(ln, GKPlan):
+            got = apply_gk_step(field, sx, sy, ln, interpret=True)
+        else:
+            assert isinstance(ln, PairPlan)
+            got = apply_pair_step(field, sx, sy, ln, interpret=True)
+        g = field.unwrap(got).reshape(want.shape)
+        err = np.abs(g - want).max() / max(np.abs(want).max(), 1e-30)
+        assert err < 2e-5, (sig, err)
+        checked += 1
+    assert checked >= 6      # distinct signatures incl. fused K=H=128
