@@ -57,7 +57,12 @@ STEP_OVERHEAD_S = 3e-6  # per-step dispatch/layout overhead (measured-ish)
 # sc23 OOMed at 32, sc24 at 8).  A roofline that ignores this prefers
 # big-slice plans that then CANNOT batch wide and run 3-5x slower.
 STEP_OVERHEAD_W1_S = 330e-6
-HBM_BUDGET_BYTES = 12e9   # usable for the slice-vmap live set
+# Usable HBM for the slice-vmap live set.  Measured (round-3 width sweep):
+# the sc22 scheme whose temp-aware peak models 0.103 GB/slice runs at
+# width 128 (13.2 GB modeled) on the 15.75 GB chip — 12e9 wrongly capped
+# it at 64 (1.31s vs 1.12s measured).  14e9 keeps ~1.7 GB margin for
+# staged leaf tensors and XLA scratch.
+HBM_BUDGET_BYTES = 14e9
 
 
 def slice_vmap_width(mc_log2):
