@@ -169,6 +169,39 @@ def load_calibration(path=None, refresh=False):
     return cal
 
 
+def step_overhead_bytes(s, lows):
+    """HBM bytes the step pays AROUND its dots: gather materializations,
+    chunk concats, cross post-selects.  The round-3 width sweeps showed
+    gather/cross-heavy schemes run ~4x their dot-only model while the
+    committed (plain-GK) scheme matches at 1.07x — the difference is
+    exactly these passes, which the per-Lowered model cannot see:
+
+    - aligned gathers: ``take`` reads the source rows AND writes a gathered
+      copy, which the einsum then re-reads -> 2 extra passes over each
+      gathered operand (per chunk);
+    - chunked merges: the per-chunk outputs are written, then the concat
+      copies them (read + write) -> 2 extra passes over the output;
+    - cross post_select: the full cross output is written, then the row
+      select reads it and writes the kept rows -> one pass over the
+      pre-select output plus one over the selection.
+    """
+    from .lowering import _prod
+
+    unit = 4.0 * 2  # f32 split pair
+    extra = 0.0
+    if getattr(s, "gathers", None) is not None:
+        for low in lows:
+            extra += 2 * unit * (_prod(low.shape_l) + _prod(low.shape_r))
+        if len(lows) > 1:
+            extra += 2 * unit * sum(_prod(low.phys_y) for low in lows)
+    if getattr(s, "post_select", None) is not None:
+        y_pre = sum(_prod(low.phys_y) for low in lows)
+        rows = s.reshape[0] if s.reshape else y_pre   # merged batch rows
+        row_elems = y_pre // max(1, rows)
+        extra += unit * (y_pre + len(s.post_select) * row_elems)
+    return extra
+
+
 def scheme_wall_components(steps):
     """Decompose the per-slice model: (kern_s, xla_s, bytes_per_slice,
     n_steps).  ``bytes_per_slice`` counts every step's fused-minimum
@@ -186,6 +219,12 @@ def scheme_wall_components(steps):
             else list(getattr(s, "lowered_chunks", ()) or ())
         for low in lows:
             bytes_ps += step_traffic_bytes(low)
+        over = step_overhead_bytes(s, lows)
+        bytes_ps += over
+        # the gather/concat/select passes run on XLA regardless of how the
+        # dot itself executes — charge them to the xla bucket even when
+        # the step's contraction runs on a kernel
+        xla_s += over / TPU_HBM_BYTES_PER_S
         if getattr(s, "lane", None) is not None:
             kern_s += s.lane.est_s
             continue

@@ -103,8 +103,13 @@ def main():
     if cap is not None:
         from artensor_tpu.runtime.lanes import prune_lane_plans
         prune_lane_plans(steps, cap=int(cap))
-    field = make_field(np.complex64,
-                       os.environ.get("BENCH_PRECISION", "highest"), "split")
+    prec = os.environ.get("BENCH_PRECISION", "highest")
+    # bf16/f16 are reduced-precision STORAGE modes (dots still accumulate
+    # f32); 'highest'/'high'/'default' are dot precisions
+    if prec in ("bf16", "f16"):
+        field = make_field(np.complex64, "highest", "split", storage=prec)
+    else:
+        field = make_field(np.complex64, prec, "split")
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
     from artensor_tpu.runtime.executor import precompute_static_steps
     steps, host_arrays = precompute_static_steps(

@@ -50,8 +50,10 @@ def main():
     bits = sorted(set(bits))
     t0 = time.time()
     lane_max = 10000 if os.environ.get("N53_LANES") == "1" else None
+    fuse = os.environ.get("N53_FUSE", "1") == "1"
     steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=24,
-                                              lane_max_steps=lane_max)
+                                              lane_max_steps=lane_max,
+                                              fuse=fuse)
     print(f"# scheme: {len(steps)} steps "
           f"({sum(1 for s in steps if s.lane is not None)} kernel) "
           f"compiled in {time.time()-t0:.0f}s host-side", flush=True)

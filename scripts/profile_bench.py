@@ -47,7 +47,8 @@ def main():
     ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
     tb2, fq2 = ntn.simplify("sparse")
     order, sliced, ctree = plan_io.load_plan(PLAN)
-    steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=22)
+    sc = float(PLAN.rsplit("sc", 1)[1].split("_")[0].split(".")[0])
+    steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=sc)
     print("# kernel steps:", sum(1 for s in steps if s.lane is not None))
     field = make_field(np.complex64, "highest", "split")
     staged = jax.device_put(stage_tensors(
