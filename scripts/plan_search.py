@@ -72,7 +72,7 @@ def main():
             # Negotiation off in the sweep (too slow per candidate); the
             # saved finalists recompile WITH it at bench time.
             steps, _, _ = contraction_scheme_sparse(
-                ctree, bits, sc_target=sc, negotiate=False)
+                ctree, bits, sc_target=sc, negotiate=False, fuse=False)
             est, width, peak = mt.scheme_wall_estimate(steps, len(sliced))
             rf = (2 ** len(sliced)) * mt.scheme_roofline_seconds(steps)
             n_lane = sum(1 for s in steps if s.lane is not None)
@@ -88,8 +88,9 @@ def main():
     for sc, (est, rf, ctree) in sorted(best_per_sc.items()):
         k = len(ctree.tn.sliced)
         print(f"sc{sc}: est={est:.2f}s roofline={rf:.2f}s slices=2^{k}")
-        path = f"plans/{which}_sparse_sc{sc}_r2.json" if which != "n30" \
-            else f"plans/n30_m14_sparse_sc{sc}_r2.json"
+        tag = os.environ.get("PLAN_TAG", "r3")
+        path = f"plans/{which}_sparse_sc{sc}_{tag}.json" if which != "n30" \
+            else f"plans/n30_m14_sparse_sc{sc}_{tag}.json"
         plan_io.save_plan(path, ctree,
                           meta={"rank": "wall-estimate",
                                 "est_s": round(est, 3),
