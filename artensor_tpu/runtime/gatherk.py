@@ -179,8 +179,13 @@ def xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j):
     return max(flops / rate, traffic / HBM_BYTES_PER_S)
 
 
-def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
-    """Build a GKPlan for the step with the GIVEN output order, or None."""
+def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0, row_mode=False):
+    """Build a GKPlan for the step with the GIVEN output order, or None.
+
+    ``row_mode``: planning the PER-ROW problem of a gathered (aligned)
+    step — size/overhead gates are skipped (the caller gates at the
+    whole-batch level, where the per-program cost amortizes over rows).
+    """
     iy = tuple(iy)
     if len(set(iy)) != len(iy):
         return _rej("iy-dup")
@@ -190,7 +195,7 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     else:
         w_is_j, ix_x, dims_x, ix_w, dims_w = False, ix_j, dims_j, ix_i, dims_i
     x_elems, w_elems = _prod(dims_x), _prod(dims_w)
-    if x_elems < MIN_X_ELEMS:
+    if x_elems < MIN_X_ELEMS and not row_mode:
         return _rej("x-small")
     if w_elems > HK_CAP:
         return _rej("w-big")
@@ -314,7 +319,8 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     # gt instances of the (K, F) problem.
     gb_gid = None
     gt = 1
-    if block == F and K * F * max(1, H // max(K, 1)) < BLOCK_F:
+    if not row_mode and block == F \
+            and K * F * max(1, H // max(K, 1)) < BLOCK_F:
         cands = [(view_x[k], a[1]) for k, a in enumerate(x_axes)
                  if a[0] == "g"]
         if cands:
@@ -458,12 +464,14 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     vpu_ok = 4 * K * H <= UNROLL_CAP
     use_mxu = (not vpu_ok) or mxu_s < vpu_s
     compute_s = mxu_s if use_mxu else vpu_s
-    compute_s += (n_grid // gt) * (F // block) * PROGRAM_OVERHEAD_S / max(
-        qb if use_mxu else 1, 1)
+    if not row_mode:
+        compute_s += (n_grid // gt) * (F // block) * PROGRAM_OVERHEAD_S \
+            / max(qb if use_mxu else 1, 1)
     est_s = max(traffic_s, compute_s)
-    est_xla = xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j)
-    if est_s > est_xla * SLACK:
-        return _rej("not-better")
+    if not row_mode:
+        est_xla = xla_step_estimate(ix_i, ix_j, iy, dims_i, dims_j)
+        if est_s > est_xla * SLACK:
+            return _rej("not-better")
     dims_y = tuple(dim_of[l] for l in iy)
     return GKPlan(w_is_j, tuple(view_x), tuple(x_axes), tuple(view_y),
                   tuple(y_axes), block, K, H, tuple(c_dims),
@@ -560,6 +568,336 @@ def plan_gk_step_pre(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
     from dataclasses import replace
 
     return replace(plan, pre=r, px=px, est_s=plan.est_s + pre_cost)
+
+
+# -- gathered gather-K (GGK): ALIGNED both-batched steps --------------------
+#
+# Aligned-step form (runtime/sparse.py): Y[b, ...] = sum_K X[gi[b], ...]
+# . W[gj[b], ...].  The XLA path materializes gathered row copies (take:
+# write + re-read), runs an MXU-pad-hostile batch-diagonal dot, chunks
+# when batch x operand exceeds the memory budget, and concats the chunks
+# — measured ~4x its fused-minimum traffic (round-3 width-sweep autopsy)
+# and the source of two OOM classes (padded batch-dot layouts, padded
+# chunk copies).  Here the gather indices are SCALAR-PREFETCHED into the
+# BlockSpec index maps, so each program's X/W rows DMA straight from the
+# source buffers: no gathered copy exists, no chunking is needed, and
+# the per-row contraction reuses the gather-K machinery (w4-packed MXU
+# dot or unrolled VPU FMAs).  Chip A/B at the aligned hot shape
+# (B=512 rows, K=128, F=4096, H=16): 7.0 ms vs 25.0 ms XLA
+# (scripts/proto_ggk.py).  No reference analogue: the reference chunks
+# gather+einsum per step (artensor/contraction.py:140-175).
+
+GGK_MIN_WORK = MIN_X_ELEMS   # min B * row elements (whole-step size gate)
+GGK_WIDTH_ASSUME = 32        # width assumed when amortizing the per-row
+                             # program cost in est_s (executor folds the
+                             # slice-vmap width into the row blocks)
+
+
+@dataclass(frozen=True)
+class GGKPlan:
+    """Static metadata for one gathered (aligned) step."""
+
+    row: GKPlan          # per-row plan (its w_is_j maps row X to op i/j)
+    gi: object           # (B,) int32 rows into the big (X) side
+    gj: object           # (B,) int32 rows into the small (W) side
+    B: int
+    bi_rows: int         # stored rows of the X-side operand
+    bj_rows: int
+    dims_y: tuple        # logical output dims incl. the leading batch
+    flops: int
+    est_s: float
+
+    @property
+    def w_is_j(self):
+        return self.row.w_is_j
+
+    @property
+    def pre(self):       # uniform interface with GKPlan (no pre reorder)
+        return None
+
+
+def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
+                  bi_rows, bj_rows):
+    """GGKPlan for an aligned step, or None.  ``rx_*``/``riy`` are the
+    ROW-level label orders (shared batch label stripped); ``gi``/``gj``
+    the UNCHUNKED per-target gather rows into operands i and j."""
+    B = len(gi)
+    if B != len(gj):
+        return _rej("ggk:gather-mismatch")
+    big_is_i = _prod(rdims_i) >= _prod(rdims_j)
+    xrow = _prod(rdims_i) if big_is_i else _prod(rdims_j)
+    wrow = _prod(rdims_j) if big_is_i else _prod(rdims_i)
+    if B * xrow < GGK_MIN_WORK:
+        return _rej("ggk:small")
+    if wrow > HK_CAP:
+        return _rej("ggk:w-big")
+    row = plan_gk_step(rx_i, rx_j, riy, rdims_i, rdims_j, row_mode=True)
+    if row is None:
+        return _rej(f"ggk:row-{LAST_REJECT}")
+    yrow = _prod(row.dims_y)
+    n_row_grid = B * max(1, _prod(
+        row.view_x[k] for k, a in enumerate(row.x_axes) if a[0] == "g"))
+    if n_row_grid > GRID_CAP * 4:
+        return _rej("ggk:grid-cap")
+    unit = 4.0 * 2
+    # W rows are pre-arranged once to (Bj, H, K) via the static wk gather
+    traffic_s = unit * (B * (xrow + wrow + yrow)
+                        + 3 * (bj_rows if big_is_i else bi_rows) * wrow) \
+        / HBM_BYTES_PER_S
+    est_s = max(traffic_s, B * row.est_s) \
+        + B * PROGRAM_OVERHEAD_S / GGK_WIDTH_ASSUME
+    # the XLA alternative: gathered-batch dot + 2 take passes per operand
+    blab = object()
+    xla = xla_step_estimate(
+        (blab, *rx_i), (blab, *rx_j), (blab, *riy),
+        (B, *rdims_i), (B, *rdims_j))
+    xla += unit * 2 * B * (xrow + wrow) / HBM_BYTES_PER_S
+    if est_s > xla * SLACK:
+        return _rej("ggk:not-better")
+    flops = 4 * 2 * B * (xrow // max(row.K, 1)) * row.K * row.H
+    gx = np.asarray(gi if big_is_i else gj, dtype=np.int32)
+    gw = np.asarray(gj if big_is_i else gi, dtype=np.int32)
+    return GGKPlan(row, gx, gw, B,
+                   bi_rows if big_is_i else bj_rows,
+                   bj_rows if big_is_i else bi_rows,
+                   (B, *row.dims_y), flops, est_s)
+
+
+def _ggk_specs(plan, width):
+    """(grid, xspec, wspec, yspec) — ``width`` 0 = unbatched, else the
+    slice-vmap width folded into a leading block dim."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    row = plan.row
+    bf = row.block // row.fm
+    F_units = next(row.view_x[k] for k, a in enumerate(row.x_axes)
+                   if a == ("f", 0))
+    row_grid = tuple(row.view_x[k] for k, a in enumerate(row.x_axes)
+                     if a[0] == "g") + (F_units // bf,)
+    grid = (plan.B,) + row_grid
+    g_pos = {}
+    for kind, gid in row.x_axes:
+        if kind == "g":
+            g_pos[gid] = 1 + len(g_pos)          # grid slot (b leads)
+    nb = 1 if width else 0
+
+    xblock = [width] if nb else []
+    xblock.append(1)                             # the gathered row
+    for k, (kind, gid) in enumerate(row.x_axes):
+        if kind == "c":
+            xblock.append(row.view_x[k])
+        elif kind == "g":
+            xblock.append(None)                  # squeezed grid dim
+        elif (kind, gid) == ("f", 0):
+            xblock.append(bf)
+        else:
+            xblock.append(row.fm)
+
+    def x_index(*args):
+        gids, gi_ref = args[:-2], args[-2]
+        out = [gi_ref[gids[0]]]
+        for kind, gid in row.x_axes:
+            if kind == "c":
+                out.append(0)
+            elif kind == "g":
+                out.append(gids[g_pos[gid]])
+            elif gid == 0:
+                out.append(gids[-1])
+            else:
+                out.append(0)
+        return ((0,) if nb else ()) + tuple(out)
+
+    wblock = ([width] if nb else []) + [1, row.H, row.K]
+
+    def w_index(*args):
+        gids, gj_ref = args[:-2], args[-1]
+        return ((0,) if nb else ()) + (gj_ref[gids[0]], 0, 0)
+
+    yblock = [width] if nb else []
+    yblock.append(1)
+    for a in row.y_axes:
+        if a[0] == "g":
+            yblock.append(None)
+        elif a[0] == "H":
+            yblock.append(row.H)
+        elif a == ("f", 0):
+            yblock.append(bf)
+        else:
+            yblock.append(row.fm)
+
+    def y_index(*args):
+        gids = args[:-2]
+        out = [gids[0]]
+        for a in row.y_axes:
+            if a[0] == "g":
+                out.append(gids[g_pos[a[1]]])
+            elif a[0] == "H":
+                out.append(0)
+            elif a == ("f", 0):
+                out.append(gids[-1])
+            else:
+                out.append(0)
+        return ((0,) if nb else ()) + tuple(out)
+
+    mk = lambda b, f: pl.BlockSpec(tuple(b), f, memory_space=pltpu.VMEM)
+    return grid, mk(xblock, x_index), mk(wblock, w_index), \
+        mk(yblock, y_index)
+
+
+def _ggk_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
+                or_ref, oi_ref, *, plan, width, precision=None):
+    row = plan.row
+    K = row.K
+    bf = row.block // row.fm
+    W = max(width, 1)
+    # window: (width?, 1, c..., bf, fm) -> (W, K, bf, fm); collapsing
+    # leading dims leaves the tiled minor dims untouched
+    xr = xr_ref[...].reshape(W, K, bf, row.fm)
+    xi = xi_ref[...].reshape(W, K, bf, row.fm)
+    wr = wr_ref[...].reshape(W, row.H, K)
+    wi = wi_ref[...].reshape(W, row.H, K)
+    for s in range(W):
+        lead = (s, 0) if width else (0,)
+
+        def put(h_sel, fi, re, im, lead=lead):
+            or_ref[_store_idx(row, 0, h_sel, fi, lead=lead)] = re
+            oi_ref[_store_idx(row, 0, h_sel, fi, lead=lead)] = im
+
+        _gk_body(row, xr[s], xi[s], wr[s], wi[s], put, precision)
+
+
+def _ggk_call(plan, interpret, width, precision,
+              xr, xi, wr, wi):
+    """One pallas_call; operands (width?, Bi, *view_x) / (width?, Bj, H, K)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid, xspec, wspec, yspec = _ggk_specs(plan, width)
+    row = plan.row
+    w_ = max(width, 1)
+    lead = (width,) if width else ()
+    out_shape = jax.ShapeDtypeStruct(lead + (plan.B,) + row.view_y,
+                                     jnp.float32)
+    traffic = 4 * 2 * w_ * plan.B * (
+        _prod(row.view_x) + row.K * row.H + _prod(row.view_y))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=grid,
+        in_specs=[xspec, xspec, wspec, wspec],
+        out_specs=(yspec, yspec))
+    return pl.pallas_call(
+        partial(_ggk_kernel, plan=plan, width=width, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.flops * w_, bytes_accessed=traffic,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(plan.gi), jnp.asarray(plan.gj), xr, xi, wr, wi)
+
+
+def ggk_window_bytes(plan, width):
+    """Padded VMEM bytes of the (double-buffered) block windows at a
+    given folded width."""
+    from .lanes import _padded_elems
+
+    row = plan.row
+    bf = row.block // row.fm
+    w_ = max(width, 1)
+    xw = [w_, 1]
+    for k, (kind, gid) in enumerate(row.x_axes):
+        if kind == "c":
+            xw.append(row.view_x[k])
+        elif kind == "g":
+            continue
+        elif gid == 0:
+            xw.append(bf)
+        else:
+            xw.append(row.fm)
+    ww = [w_, 1, row.H, row.K]
+    yw = [w_, 1]
+    for a in row.y_axes:
+        if a[0] == "g":
+            continue
+        elif a[0] == "H":
+            yw.append(row.H)
+        elif a == ("f", 0):
+            yw.append(bf)
+        else:
+            yw.append(row.fm)
+    return 4 * 2 * 2 * (_padded_elems(xw) + _padded_elems(ww)
+                        + _padded_elems(yw))
+
+
+def apply_ggk_step(field, x, y, plan, interpret=None):
+    """Execute one aligned step via the GGK kernel (traceable).  Under
+    jax.vmap the slice width folds into a leading BLOCK dim (one DMA of
+    width rows per operand per program); widths whose windows exceed the
+    VMEM budget are chunked with lax.map."""
+    import jax
+    import jax.numpy as jnp
+
+    from .lanes import kernel_precision
+    from .lowering import physical_shape
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    precision = kernel_precision(field)
+    row = plan.row
+    xv, wv = (x, y) if row.w_is_j else (y, x)
+    idx_flat = jnp.asarray(plan.row.wk_idx.reshape(-1))
+
+    @jax.custom_batching.custom_vmap
+    def ggk(xr, xi, wr, wi):
+        # w rows -> (Bj, H, K) via the static per-row wk gather
+        whr = jnp.take(wr.reshape(plan.bj_rows, -1), idx_flat, axis=1) \
+            .reshape(plan.bj_rows, row.H, row.K)
+        whi = jnp.take(wi.reshape(plan.bj_rows, -1), idx_flat, axis=1) \
+            .reshape(plan.bj_rows, row.H, row.K)
+        xrv = xr.reshape((plan.bi_rows,) + row.view_x)
+        xiv = xi.reshape((plan.bi_rows,) + row.view_x)
+        yr, yi = _ggk_call(plan, interpret, 0, precision,
+                           xrv, xiv, whr, whi)
+        return yr, yi
+
+    @ggk.def_vmap
+    def ggk_vmap(axis_size, in_batched, xr, xi, wr, wi):
+        W = axis_size
+        args = (xr, xi, wr, wi)
+        stacked = tuple(
+            a if b else jnp.broadcast_to(a[None], (W,) + a.shape)
+            for a, b in zip(args, in_batched))
+        xr_, xi_, wr_, wi_ = stacked
+        whr = jnp.take(wr_.reshape(W, plan.bj_rows, -1), idx_flat, axis=2) \
+            .reshape(W, plan.bj_rows, row.H, row.K)
+        whi = jnp.take(wi_.reshape(W, plan.bj_rows, -1), idx_flat, axis=2) \
+            .reshape(W, plan.bj_rows, row.H, row.K)
+        xrv = xr_.reshape((W, plan.bi_rows) + row.view_x)
+        xiv = xi_.reshape((W, plan.bi_rows) + row.view_x)
+        # fold the width into the block windows while they fit VMEM;
+        # chunk with lax.map beyond that
+        wc = W
+        while wc > 1 and (ggk_window_bytes(plan, wc) > GK_VMEM_BUDGET
+                          or W % wc):
+            wc //= 2
+        if wc == W:
+            yr, yi = _ggk_call(plan, interpret, W, precision,
+                               xrv, xiv, whr, whi)
+            return (yr, yi), (True, True)
+        resh = lambda a: a.reshape((W // wc, wc) + a.shape[1:])
+        yr, yi = jax.lax.map(
+            lambda t: _ggk_call(plan, interpret, wc, precision, *t),
+            (resh(xrv), resh(xiv), resh(whr), resh(whi)))
+        merge = lambda a: a.reshape((W,) + a.shape[2:])
+        return (merge(yr), merge(yi)), (True, True)
+
+    yr, yi = ggk(xv[0].reshape(-1), xv[1].reshape(-1),
+                 wv[0].reshape(-1), wv[1].reshape(-1))
+    return field.reshape((yr, yi), physical_shape(plan.dims_y))
 
 
 F_PROTECT = 1 << 10      # min tail-run elements kept minor before a

@@ -122,9 +122,11 @@ def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
             continue
         out = sum(_prod(low.phys_y) for low in lows)
         extra = 0
-        if getattr(s, "gathers", None) is not None:
+        if getattr(s, "gathers", None) is not None \
+                and getattr(s, "lane", None) is None:
             # gathered operand copies of the current chunk + every chunk
-            # output held until the final concat
+            # output held until the final concat (a GGK lane fuses the
+            # gathers: no copies, no chunk outputs)
             extra = max(_prod(low.shape_l) + _prod(low.shape_r)
                         for low in lows) + out
         elif getattr(s, "post_select", None) is not None:
@@ -219,11 +221,15 @@ def scheme_wall_components(steps):
             else list(getattr(s, "lowered_chunks", ()) or ())
         for low in lows:
             bytes_ps += step_traffic_bytes(low)
-        over = step_overhead_bytes(s, lows)
-        bytes_ps += over
         # the gather/concat/select passes run on XLA regardless of how the
         # dot itself executes — charge them to the xla bucket even when
-        # the step's contraction runs on a kernel
+        # the step's contraction runs on a kernel.  Exception: a GGK lane
+        # on an aligned step FUSES the gathers and removes the chunking,
+        # so nothing surrounds the kernel there.
+        ggk_fused = getattr(s, "gathers", None) is not None \
+            and getattr(s, "lane", None) is not None
+        over = 0.0 if ggk_fused else step_overhead_bytes(s, lows)
+        bytes_ps += over
         xla_s += over / TPU_HBM_BYTES_PER_S
         if getattr(s, "lane", None) is not None:
             kern_s += s.lane.est_s

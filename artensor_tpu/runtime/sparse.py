@@ -577,6 +577,23 @@ def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
                 lower_step(ix_i, ix_j, iy,
                            (len(gi), *dims_bi), (len(gi), *dims_bj))
                 for gi, gj in gathers)
+            if lane is None and lane_schedule:
+                # gathered gather-K: the whole aligned merge as ONE kernel
+                # whose scalar-prefetched row indices drive the block DMA —
+                # no materialized take copies, no chunking (the chunked
+                # lowering above stays as the CPU/XLA fallback)
+                from . import gatherk
+                from .gatherk import plan_ggk_step
+
+                gatherk.LAST_REJECT = None
+                lane = plan_ggk_step(
+                    tuple(bond_i), tuple(bond_j), tuple(new_bonds),
+                    tuple(dims_bi), tuple(dims_bj),
+                    np.concatenate([g[0] for g in gathers]),
+                    np.concatenate([g[1] for g in gathers]),
+                    len(rep_i), len(rep_j))
+                if lane is None:
+                    note = str(gatherk.LAST_REJECT)
         else:
             lowered = lower_step(ix_i, ix_j, iy, dims_i, dims_j)
             lowered_chunks = None
@@ -740,6 +757,10 @@ def apply_sparse_step(field, x, y, s):
     from .lowering import apply_lowered
 
     if s.gathers is not None:
+        if s.lane is not None and getattr(field, "supports_lanes", False):
+            from .gatherk import apply_ggk_step
+
+            return apply_ggk_step(field, x, y, s.lane)
         parts = [
             apply_lowered(field, field.take(x, gi, axis=0),
                           field.take(y, gj, axis=0), low)

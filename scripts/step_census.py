@@ -19,6 +19,8 @@ REF_AMPLITUDES = ("/root/reference/examples/"
 
 def classify(s):
     if s.gathers is not None:
+        if s.lane is not None:
+            return f"aligned+{type(s.lane).__name__}"
         return f"aligned[{len(s.gathers)}ch]"
     kind = "cross" if s.reshape is not None else "plain"
     if s.lane is not None:

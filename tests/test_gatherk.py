@@ -515,3 +515,95 @@ def test_headline_scheme_kernel_steps_oracle():
         assert err < 2e-5, (sig, err)
         checked += 1
     assert checked >= 6      # distinct signatures incl. fused K=H=128
+
+
+# -- gathered gather-K (aligned steps) --------------------------------------
+
+def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0):
+    """Build an aligned-step instance, run the GGK kernel (interpret) and
+    check against the take+einsum reference."""
+    from artensor_tpu.runtime.gatherk import apply_ggk_step, plan_ggk_step
+
+    rng = np.random.default_rng(seed)
+    gi = rng.integers(0, bi, B).astype(np.int32)
+    gj = rng.integers(0, bj, B).astype(np.int32)
+    old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
+    gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
+    try:
+        plan = plan_ggk_step(rx_i, rx_j, riy, rd_i, rd_j, gi, gj, bi, bj)
+    finally:
+        gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
+    assert plan is not None, gk.LAST_REJECT
+    shp_i = (width, bi, *rd_i) if width else (bi, *rd_i)
+    shp_j = (width, bj, *rd_j) if width else (bj, *rd_j)
+    x = (rng.standard_normal(shp_i) + 1j * rng.standard_normal(shp_i)) \
+        .astype(np.complex64)
+    w = (rng.standard_normal(shp_j) + 1j * rng.standard_normal(shp_j)) \
+        .astype(np.complex64)
+    lab = {l: k for k, l in enumerate({*rx_i, *rx_j, *riy})}
+    wlab, blab = len(lab), len(lab) + 1
+    xg = np.take(x, gi, axis=1 if width else 0)
+    wg = np.take(w, gj, axis=1 if width else 0)
+    lead = [wlab] if width else []
+    want = np.einsum(xg, [*lead, blab, *[lab[l] for l in rx_i]],
+                     wg, [*lead, blab, *[lab[l] for l in rx_j]],
+                     [*lead, blab, *[lab[l] for l in riy]])
+    field = make_field(np.complex64, "highest", "split")
+    import jax
+
+    def one(xs, ws):
+        return apply_gg(field, xs, ws, plan)
+
+    def apply_gg(field, xs, ws, plan):
+        return apply_ggk_step(field, xs, ws, plan, interpret=True)
+
+    if width:
+        xs = field.wrap(x.reshape(width, -1))
+        ws = field.wrap(w.reshape(width, -1))
+        got = jax.vmap(lambda a, b, c, d: apply_gg(field, (a, b), (c, d),
+                                                   plan))(
+            xs[0], xs[1], ws[0], ws[1])
+    else:
+        xs = field.wrap(x.reshape(-1))
+        ws = field.wrap(w.reshape(-1))
+        got = apply_gg(field, xs, ws, plan)
+    g = field.unwrap(got).reshape(want.shape)
+    err = np.abs(g - want).max() / max(np.abs(want).max(), 1e-30)
+    assert err < 2e-4, err
+    return plan
+
+
+def test_ggk_basic_mxu():
+    # rows: X (k0,k1 contract; f free run), W (k0,k1, h fresh)
+    _ggk_oracle(("k0", "k1", "f0", "f1"), ("k0", "k1", "h"),
+                ("h", "f0", "f1"),
+                (2, 4, 2, 128), (2, 4, 2), B=24, bi=6, bj=5)
+
+
+def test_ggk_vpu_and_grid_leg():
+    # a g leg (stays in the output, not in the f run position)
+    plan = _ggk_oracle(("g", "k", "f0", "f1"), ("k", "h"),
+                       ("g", "h", "f0", "f1"),
+                       (3, 4, 2, 128), (4, 2), B=17, bi=4, bj=3)
+    assert any(a[0] == "g" for a in plan.row.x_axes)
+
+
+def test_ggk_batched_widths():
+    for width in (2, 4):
+        _ggk_oracle(("k0", "k1", "f0", "f1"), ("k0", "k1", "h"),
+                    ("h", "f0", "f1"),
+                    (2, 4, 2, 128), (2, 4, 2), B=12, bi=5, bj=4,
+                    width=width, seed=width)
+
+
+def test_ggk_rejections():
+    from artensor_tpu.runtime.gatherk import plan_ggk_step
+
+    gi = np.zeros(8, np.int32)
+    gj = np.zeros(8, np.int32)
+    # W row too big
+    assert plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
+                         (2, 256), (2, 1 << 14), gi, gj, 2, 2) is None
+    # whole-step work too small
+    assert plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
+                         (2, 128), (2, 2), gi, gj, 2, 2) is None
