@@ -64,6 +64,7 @@ PROGRAM_OVERHEAD_S = 0.9e-6   # measured per-grid-program cost (the
 # the broadcast-FMA loop sustains ~0.9-1.0 TFLOP/s-true)
 VPU_FLOPS_PER_S = 1.0e12
 MXU_FLOPS_PER_S = 28.6e12
+MXU_CLOCK_HZ = 0.94e9    # v5e core clock: one 128x128 MXU pass per cycle
 HBM_BYTES_PER_S = 450e9
 SLACK = 2.0              # accept when est_gk < est_xla * SLACK — the XLA
                          # estimate is an OPTIMISTIC bound (it ignores the
@@ -616,6 +617,134 @@ class GGKPlan:
         return None
 
 
+RG_ROW_CAP = 1 << 15     # max row elements of the reduction form
+RG_H_CAP = 8             # unrolled fresh-leg loop bound
+RG_K_MIN = 128           # min contract run (lanes) — below this the
+                         # standard GK forms always apply instead
+
+
+@dataclass(frozen=True)
+class RGRow:
+    """Reduction-form row plan: near-root aligned rows whose free legs are
+    TINY (F < 32 — no lane-complete f run exists in any order, so the
+    standard gather-K row form is impossible).  The row is brought to the
+    canonical rank-2 (F, K) layout — frees in riy order leading, the big
+    contract run MINOR (clean lanes, zero padding) — by ONE whole-buffer
+    XLA reorder per slice when the stored order differs (``pre_perm``;
+    the gathered rows themselves are never copied).  The contraction is
+    then H unrolled multiply-reduces with the sum on the lane axis:
+    y[h, f] = sum_k x[f, k] * w[h, k].  MXU forms lose here by 16-64x
+    pad waste (H and F are 2-8 while K is 2^11+): this is a pure
+    bandwidth-bound reduction."""
+
+    view_x: tuple        # canonical (F, K) — or (K,) when no frees
+    H: int
+    K: int
+    wk_idx: object       # (H, K) int32; K digits in x-stored contract order
+    hy_first: bool       # fresh block leads the row output
+    dims_y: tuple        # row output dims (riy order)
+    w_is_j: bool
+    row_dims: tuple      # ORIGINAL stored row dims (for the pre reorder)
+    pre_perm: tuple      # row-axis permutation to canonical, or None
+    flops: int
+    est_s: float
+
+    pre = None
+    px = None
+
+    @property
+    def cls_x(self):
+        return ("f", "c") if len(self.view_x) == 2 else ("c",)
+
+
+def plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j):
+    """RGRow for the reduction form, or None (sets LAST_REJECT)."""
+    big_is_i = _prod(rdims_i) >= _prod(rdims_j)
+    if big_is_i:
+        w_is_j, ix_x, dims_x, ix_w, dims_w = True, rx_i, rdims_i, rx_j, rdims_j
+    else:
+        w_is_j, ix_x, dims_x, ix_w, dims_w = False, rx_j, rdims_j, rx_i, rdims_i
+    riy = tuple(riy)
+    set_x, set_w, set_y = set(ix_x), set(ix_w), set(riy)
+    if len(set_x) != len(ix_x) or len(set_y) != len(riy):
+        return _rej("rg:dup")
+    if set_x & set_w & set_y:
+        return _rej("rg:shared-batch")
+    dim_of = {l: int(d) for l, d in zip(ix_x, dims_x)}
+    for l, d in zip(ix_w, dims_w):
+        dim_of[l] = int(d)
+    contract = [l for l in ix_x if l in set_w and l not in set_y]
+    fresh = [l for l in ix_w if l in set_y]
+    frees = [l for l in ix_x if l in set_y]
+    if set_w != set(contract) | set(fresh) \
+            or len(fresh) + len(contract) != len(ix_w):
+        return _rej("rg:w-legs")
+    if set_y != set(frees) | set(fresh):
+        return _rej("rg:y-legs")
+    if not contract:
+        return _rej("rg:no-contract")
+    xrow = _prod(dims_x)
+    if xrow > RG_ROW_CAP:
+        return _rej("rg:row-big")
+    K = _prod(dim_of[l] for l in contract)
+    H = _prod(dim_of[l] for l in fresh)
+    if K < RG_K_MIN:
+        return _rej("rg:k-small")
+    if H > RG_H_CAP:
+        return _rej("rg:h-cap")
+    if K * H > HK_CAP:
+        return _rej("rg:hk-cap")
+    # fresh block contiguous at the front or the back of riy (its digit
+    # order is free — the wk gather absorbs it); frees in riy order
+    fset = set(fresh)
+    fresh_y = [l for l in riy if l in fset]
+    frees_y = [l for l in riy if l not in fset]
+    if fresh_y and riy[:len(fresh_y)] != tuple(fresh_y) \
+            and riy[-len(fresh_y):] != tuple(fresh_y):
+        return _rej("rg:h-contig")
+    hy_first = bool(fresh_y) and riy[:len(fresh_y)] == tuple(fresh_y)
+    # canonical row order: frees (riy order) leading, contract (stored
+    # order) minor — a whole-buffer reorder when the stored order differs
+    px = tuple(frees_y) + tuple(contract)
+    pos = {l: k for k, l in enumerate(ix_x)}
+    pre_perm = None if px == tuple(ix_x) \
+        else tuple(pos[l] for l in px)
+    F = _prod(dim_of[l] for l in frees_y)
+    view_x = (F, K) if frees_y else (K,)
+    # wk gather: K digits in x-stored contract order, H in riy fresh order
+    w_strides = {}
+    s = 1
+    for l in reversed(ix_w):
+        w_strides[l] = s
+        s *= dim_of[l]
+
+    def _digits(idx, dims):
+        out, rem = [], idx
+        for d in reversed(dims):
+            out.append(rem % d)
+            rem = rem // d
+        out.reverse()
+        return out
+
+    h_order = fresh_y if fresh_y else []
+    hi = np.arange(H, dtype=np.int64)
+    h_vals = dict(zip(h_order, _digits(hi, [dim_of[l] for l in h_order]))) \
+        if h_order else {}
+    ki = np.arange(K, dtype=np.int64)
+    k_vals = dict(zip(contract, _digits(ki, [dim_of[l] for l in contract])))
+    idx = np.zeros((H, K), dtype=np.int64)
+    for l in h_order:
+        idx += h_vals[l][:, None] * w_strides[l]
+    for l in contract:
+        idx += k_vals[l][None, :] * w_strides[l]
+    flops = 4 * 2 * H * xrow
+    est_s = flops / VPU_FLOPS_PER_S          # pad-free by construction
+    dims_y = tuple(dim_of[l] for l in riy)
+    return RGRow(view_x, H, K, idx.astype(np.int32), hy_first, dims_y,
+                 w_is_j, tuple(int(d) for d in dims_x), pre_perm,
+                 flops, est_s)
+
+
 def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
                   bi_rows, bj_rows):
     """GGKPlan for an aligned step, or None.  ``rx_*``/``riy`` are the
@@ -633,25 +762,41 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
         return _rej("ggk:w-big")
     row = plan_gk_step(rx_i, rx_j, riy, rdims_i, rdims_j, row_mode=True)
     if row is None:
-        return _rej(f"ggk:row-{LAST_REJECT}")
+        note = LAST_REJECT
+        row = plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j)
+        if row is None:
+            return _rej(f"ggk:row-{note}/{LAST_REJECT}")
     yrow = _prod(row.dims_y)
-    n_row_grid = B * max(1, _prod(
+    n_row_grid = B if isinstance(row, RGRow) else B * max(1, _prod(
         row.view_x[k] for k, a in enumerate(row.x_axes) if a[0] == "g"))
     if n_row_grid > GRID_CAP * 4:
         return _rej("ggk:grid-cap")
     unit = 4.0 * 2
-    # W rows are pre-arranged once to (Bj, H, K) via the static wk gather
-    traffic_s = unit * (B * (xrow + wrow + yrow)
+    # W rows are pre-arranged once to (Bj, H, K) via the static wk gather;
+    # a reduction row's canonical (F, K) layout costs one whole-buffer
+    # reorder (2 read+write passes, matching the measured pre-GK rate)
+    pre_elems = 0
+    if isinstance(row, RGRow) and row.pre_perm is not None:
+        pre_elems = 2 * 2 * (bi_rows if big_is_i else bj_rows) * xrow
+    traffic_s = unit * (B * (xrow + wrow + yrow) + pre_elems
                         + 3 * (bj_rows if big_is_i else bi_rows) * wrow) \
         / HBM_BYTES_PER_S
     est_s = max(traffic_s, B * row.est_s) \
         + B * PROGRAM_OVERHEAD_S / GGK_WIDTH_ASSUME
-    # the XLA alternative: gathered-batch dot + 2 take passes per operand
+    # the XLA alternative: gathered-batch dot + 2 take passes per operand.
+    # The batch-diagonal dot pads every per-row (F, K) x (K, H) problem
+    # to full MXU tiles — at tiny F/H that padding dominates its runtime
+    # (step173-class shape measured 16.5 ms/slice vs 0.36 ms fused-min
+    # traffic, scripts/proto_rg.py)
     blab = object()
     xla = xla_step_estimate(
         (blab, *rx_i), (blab, *rx_j), (blab, *riy),
         (B, *rdims_i), (B, *rdims_j))
     xla += unit * 2 * B * (xrow + wrow) / HBM_BYTES_PER_S
+    Fx, Hw = xrow // max(row.K, 1), wrow // max(row.K, 1)
+    tiles = lambda n: -(-n // 128)
+    pad_cycles = B * tiles(Fx) * tiles(row.K) * tiles(Hw) * 128
+    xla = max(xla, pad_cycles / MXU_CLOCK_HZ)
     if est_s > xla * SLACK:
         return _rej("ggk:not-better")
     flops = 4 * 2 * B * (xrow // max(row.K, 1)) * row.K * row.H
@@ -767,6 +912,104 @@ def _ggk_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
         _gk_body(row, xr[s], xi[s], wr[s], wi[s], put, precision)
 
 
+def _rg_wshape(row):
+    """W's per-h storage view: K minor, a size-1 broadcast axis over the
+    frees — prepared OUTSIDE the kernel (a free XLA reshape of the
+    (Bj, H, K) buffer), so the kernel broadcast-multiplies with NO
+    in-VMEM relayout."""
+    return (1, row.K) if len(row.view_x) == 2 else (row.K,)
+
+
+def _rg_pad(view):
+    """Mosaic requires the LAST TWO block dims to be 8/128-divisible or
+    equal to the array dims; a rank-1 row view would put the gathered
+    row axis (block size 1) second-minor, which fails that check on the
+    chip (interpret mode never sees it).  Pad with a leading unit axis
+    so the block's last two dims always equal the array's."""
+    view = tuple(view)
+    return view if len(view) >= 2 else (1,) + view
+
+
+def _rg_specs(plan, width):
+    """Specs for the reduction-form row: grid (B,), whole-row blocks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    row = plan.row
+    nb = 1 if width else 0
+    view_x = _rg_pad(row.view_x)
+    view_y = _rg_pad(_rg_view_y(row))
+    nx = len(view_x)
+    ny = len(view_y)
+    wshape = _rg_wshape(row)
+
+    def x_index(b, gi_ref, gj_ref):
+        return ((0,) if nb else ()) + (gi_ref[b],) + (0,) * nx
+
+    def w_index(b, gi_ref, gj_ref):
+        return ((0,) if nb else ()) + (gj_ref[b], 0) + (0,) * len(wshape)
+
+    def y_index(b, gi_ref, gj_ref):
+        return ((0,) if nb else ()) + (b,) + (0,) * ny
+
+    lead = [width] if nb else []
+    mk = lambda bl, f: pl.BlockSpec(tuple(bl), f, memory_space=pltpu.VMEM)
+    return ((plan.B,),
+            mk(lead + [1, *view_x], x_index),
+            mk(lead + [1, row.H, *wshape], w_index),
+            mk(lead + [1, *view_y], y_index))
+
+
+def _rg_view_y(row):
+    """Physical output-row view: fresh block (H) leading or trailing the
+    free block, matching ``row.dims_y``'s order."""
+    F = row.view_x[0] if len(row.view_x) == 2 else 0
+    if row.H == 1:
+        return (F,) if F else (1,)
+    if not F:
+        return (row.H,)
+    return (row.H, F) if row.hy_first else (F, row.H)
+
+
+def _rg_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
+               or_ref, oi_ref, *, plan, width, precision=None):
+    import jax.numpy as jnp
+
+    row = plan.row
+    H = row.H
+    W = max(width, 1)
+    view = row.view_x          # canonical (F, K) or (K,)
+    two = len(view) == 2
+    wshape = _rg_wshape(row)
+    xr_all = xr_ref[...].reshape((W,) + view)
+    xi_all = xi_ref[...].reshape((W,) + view)
+    # W window is PRE-SHAPED (outside the kernel) to (H, *wshape): K on
+    # the lanes, a size-1 broadcast axis over the frees — the multiply
+    # below is a pure broadcast, no in-VMEM relayout
+    wr_all = wr_ref[...].reshape((W, H) + wshape)
+    wi_all = wi_ref[...].reshape((W, H) + wshape)
+    for s in range(W):
+        xr, xi = xr_all[s], xi_all[s]
+        for h in range(H):
+            whr = wr_all[s, h]
+            whi = wi_all[s, h]
+            re = (xr * whr - xi * whi).sum(axis=-1)   # (F,) or ()
+            im = (xr * whi + xi * whr).sum(axis=-1)
+            lead = (s, 0) if width else (0,)
+            if H == 1:
+                idx = lead + (slice(None),)
+                re, im = re.reshape(or_ref[idx].shape), \
+                    im.reshape(oi_ref[idx].shape)
+            elif not two:
+                idx = lead + (0, h)     # (1, H)-padded output block
+            elif row.hy_first:
+                idx = lead + (h, slice(None))
+            else:
+                idx = lead + (slice(None), h)
+            or_ref[idx] = re
+            oi_ref[idx] = im
+
+
 def _ggk_call(plan, interpret, width, precision,
               xr, xi, wr, wi):
     """One pallas_call; operands (width?, Bi, *view_x) / (width?, Bj, H, K)."""
@@ -775,20 +1018,27 @@ def _ggk_call(plan, interpret, width, precision,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    grid, xspec, wspec, yspec = _ggk_specs(plan, width)
     row = plan.row
+    if isinstance(row, RGRow):
+        grid, xspec, wspec, yspec = _rg_specs(plan, width)
+        view_y = _rg_pad(_rg_view_y(row))
+        kern = _rg_kernel
+    else:
+        grid, xspec, wspec, yspec = _ggk_specs(plan, width)
+        view_y = row.view_y
+        kern = _ggk_kernel
     w_ = max(width, 1)
     lead = (width,) if width else ()
-    out_shape = jax.ShapeDtypeStruct(lead + (plan.B,) + row.view_y,
+    out_shape = jax.ShapeDtypeStruct(lead + (plan.B,) + tuple(view_y),
                                      jnp.float32)
     traffic = 4 * 2 * w_ * plan.B * (
-        _prod(row.view_x) + row.K * row.H + _prod(row.view_y))
+        _prod(row.view_x) + row.K * row.H + _prod(view_y))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=grid,
         in_specs=[xspec, xspec, wspec, wspec],
         out_specs=(yspec, yspec))
     return pl.pallas_call(
-        partial(_ggk_kernel, plan=plan, width=width, precision=precision),
+        partial(kern, plan=plan, width=width, precision=precision),
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape),
         compiler_params=pltpu.CompilerParams(
@@ -806,8 +1056,14 @@ def ggk_window_bytes(plan, width):
     from .lanes import _padded_elems
 
     row = plan.row
-    bf = row.block // row.fm
     w_ = max(width, 1)
+    if isinstance(row, RGRow):
+        return 4 * 2 * 2 * (_padded_elems([w_, 1, *_rg_pad(row.view_x)])
+                            + _padded_elems([w_, 1, row.H,
+                                             *_rg_wshape(row)])
+                            + _padded_elems([w_, 1,
+                                             *_rg_pad(_rg_view_y(row))]))
+    bf = row.block // row.fm
     xw = [w_, 1]
     for k, (kind, gid) in enumerate(row.x_axes):
         if kind == "c":
@@ -849,17 +1105,30 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
     precision = kernel_precision(field)
     row = plan.row
     xv, wv = (x, y) if row.w_is_j else (y, x)
+    if isinstance(row, RGRow) and row.pre_perm is not None:
+        # one whole-buffer reorder to the canonical (F, K) row layout —
+        # the gathered rows themselves are never copied
+        from .lowering import apply_reorder, plan_reorder
+        r = plan_reorder((plan.bi_rows,) + row.row_dims,
+                         (0,) + tuple(p + 1 for p in row.pre_perm),
+                         (plan.bi_rows * _prod(row.row_dims),))
+        xv = apply_reorder(field, xv, r)
     idx_flat = jnp.asarray(plan.row.wk_idx.reshape(-1))
+    # reduction rows carry W pre-shaped to (Bj, H, *contract-runs-with-1s)
+    # so the kernel's broadcast-multiply needs no in-VMEM relayout
+    w_view = (row.H,) + _rg_wshape(row) if isinstance(row, RGRow) \
+        else (row.H, row.K)
+    x_view = _rg_pad(row.view_x) if isinstance(row, RGRow) else row.view_x
 
     @jax.custom_batching.custom_vmap
     def ggk(xr, xi, wr, wi):
         # w rows -> (Bj, H, K) via the static per-row wk gather
         whr = jnp.take(wr.reshape(plan.bj_rows, -1), idx_flat, axis=1) \
-            .reshape(plan.bj_rows, row.H, row.K)
+            .reshape((plan.bj_rows,) + w_view)
         whi = jnp.take(wi.reshape(plan.bj_rows, -1), idx_flat, axis=1) \
-            .reshape(plan.bj_rows, row.H, row.K)
-        xrv = xr.reshape((plan.bi_rows,) + row.view_x)
-        xiv = xi.reshape((plan.bi_rows,) + row.view_x)
+            .reshape((plan.bj_rows,) + w_view)
+        xrv = xr.reshape((plan.bi_rows,) + x_view)
+        xiv = xi.reshape((plan.bi_rows,) + x_view)
         yr, yi = _ggk_call(plan, interpret, 0, precision,
                            xrv, xiv, whr, whi)
         return yr, yi
@@ -873,11 +1142,11 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
             for a, b in zip(args, in_batched))
         xr_, xi_, wr_, wi_ = stacked
         whr = jnp.take(wr_.reshape(W, plan.bj_rows, -1), idx_flat, axis=2) \
-            .reshape(W, plan.bj_rows, row.H, row.K)
+            .reshape((W, plan.bj_rows) + w_view)
         whi = jnp.take(wi_.reshape(W, plan.bj_rows, -1), idx_flat, axis=2) \
-            .reshape(W, plan.bj_rows, row.H, row.K)
-        xrv = xr_.reshape((W, plan.bi_rows) + row.view_x)
-        xiv = xi_.reshape((W, plan.bi_rows) + row.view_x)
+            .reshape((W, plan.bj_rows) + w_view)
+        xrv = xr_.reshape((W, plan.bi_rows) + x_view)
+        xiv = xi_.reshape((W, plan.bi_rows) + x_view)
         # fold the width into the block windows while they fit VMEM;
         # chunk with lax.map beyond that
         wc = W

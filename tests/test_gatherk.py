@@ -607,3 +607,99 @@ def test_ggk_rejections():
     # whole-step work too small
     assert plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
                          (2, 128), (2, 2), gi, gj, 2, 2) is None
+
+
+def test_ggk_reduction_form():
+    # step173 class: huge scattered K, tiny interleaved frees, tiny fresh
+    # row X: (k0, k1, f0, k2, f1) contract k0,k1,k2; W: (k0,k1,k2,h)
+    plan = _ggk_oracle(("k0", "k1", "f0", "k2", "f1"),
+                       ("k1", "k0", "k2", "h"),
+                       ("h", "f0", "f1"),
+                       (4, 2, 2, 16, 4), (2, 4, 16, 2), B=40, bi=7, bj=6)
+    from artensor_tpu.runtime.gatherk import RGRow
+    assert isinstance(plan.row, RGRow)
+    assert plan.row.pre_perm is not None      # stored order is interleaved
+
+
+def test_ggk_reduction_h_trailing_and_h1():
+    from artensor_tpu.runtime.gatherk import RGRow
+
+    # frees-first output, fresh trailing
+    plan = _ggk_oracle(("k0", "f0", "k1"), ("k0", "k1", "h"),
+                       ("f0", "h"),
+                       (8, 4, 16), (8, 16, 2), B=24, bi=5, bj=4, seed=3)
+    assert isinstance(plan.row, RGRow)
+    # H == 1 (W fully contracted)
+    plan = _ggk_oracle(("k0", "f0", "k1"), ("k1", "k0"),
+                       ("f0",),
+                       (8, 4, 16), (16, 8), B=24, bi=5, bj=4, seed=4)
+    assert isinstance(plan.row, RGRow)
+
+
+def test_ggk_reduction_batched():
+    from artensor_tpu.runtime.gatherk import RGRow
+
+    plan = _ggk_oracle(("k0", "k1", "f0", "k2", "f1"),
+                       ("k1", "k0", "k2", "h"),
+                       ("h", "f0", "f1"),
+                       (4, 2, 2, 16, 4), (2, 4, 16, 2), B=16, bi=5, bj=4,
+                       width=4, seed=7)
+    assert isinstance(plan.row, RGRow)
+
+
+def test_ggk_reduction_no_frees_and_mosaic_blocks():
+    """The sc23_r2 crash class: RG rows with NO free legs (view_x=(K,))
+    put the gathered row axis (block 1) second-minor unless the specs pad
+    rank-1 views — interpret mode never checks Mosaic's last-two-dims
+    rule, so assert it directly on the BlockSpecs here."""
+    from artensor_tpu.runtime.gatherk import (
+        RGRow, _rg_pad, _rg_specs, _rg_view_y, _rg_wshape, plan_ggk_step)
+
+    def check_specs(plan, width):
+        row = plan.row
+        grid, xspec, wspec, yspec = _rg_specs(plan, width)
+        lead = (width,) if width else ()
+        arrays = {
+            "x": (lead + (plan.bi_rows,) + _rg_pad(row.view_x), xspec),
+            "w": (lead + (plan.bj_rows, row.H) + _rg_wshape(row), wspec),
+            "y": (lead + (plan.B,) + _rg_pad(_rg_view_y(row)), yspec),
+        }
+        for name, (arr, spec) in arrays.items():
+            blk = spec.block_shape
+            assert len(blk) == len(arr), (name, blk, arr)
+            for bdim, adim, (div, pos) in zip(
+                    blk[-2:], arr[-2:], ((8, "sublane"), (128, "lane"))):
+                assert bdim == adim or bdim % div == 0, \
+                    f"{name} {pos}: block {blk} vs array {arr}"
+
+    # no-frees: X fully contracted except the gather row (view_x=(K,))
+    gi = np.arange(24, dtype=np.int32) % 5
+    gj = np.arange(24, dtype=np.int32) % 4
+    old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
+    gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
+    try:
+        plan = plan_ggk_step(("k0", "k1"), ("k1", "k0", "h"), ("h",),
+                             (16, 16), (16, 16, 4), gi, gj, 5, 4)
+    finally:
+        gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
+    assert plan is not None and isinstance(plan.row, RGRow), gk.LAST_REJECT
+    for width in (0, 8):
+        check_specs(plan, width)
+
+    # rank-1 output with frees (H == 1) and the standard rank-2 case
+    p2 = _ggk_oracle(("k0", "f0", "k1"), ("k1", "k0"), ("f0",),
+                     (8, 4, 16), (16, 8), B=24, bi=5, bj=4, seed=4)
+    for width in (0, 4):
+        check_specs(p2, width)
+    p3 = _ggk_oracle(("k0", "k1", "f0", "k2", "f1"),
+                     ("k1", "k0", "k2", "h"), ("h", "f0", "f1"),
+                     (4, 2, 2, 16, 4), (2, 4, 16, 2), B=16, bi=5, bj=4,
+                     seed=7)
+    for width in (0, 4):
+        check_specs(p3, width)
+
+    # end-to-end correctness of the no-frees form (interpret)
+    _ggk_oracle(("k0", "k1"), ("k1", "k0", "h"), ("h",),
+                (16, 16), (16, 16, 4), B=24, bi=5, bj=4, seed=9)
+    _ggk_oracle(("k0", "k1"), ("k1", "k0", "h"), ("h",),
+                (16, 16), (16, 16, 4), B=24, bi=5, bj=4, width=4, seed=10)
