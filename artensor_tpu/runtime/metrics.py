@@ -122,13 +122,23 @@ def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
             continue
         out = sum(_prod(low.phys_y) for low in lows)
         extra = 0
-        if getattr(s, "gathers", None) is not None \
-                and getattr(s, "lane", None) is None:
+        lane = getattr(s, "lane", None)
+        if getattr(s, "gathers", None) is not None and lane is None:
             # gathered operand copies of the current chunk + every chunk
             # output held until the final concat (a GGK lane fuses the
             # gathers: no copies, no chunk outputs)
             extra = max(_prod(low.shape_l) + _prod(low.shape_r)
                         for low in lows) + out
+        elif lane is not None and hasattr(lane, "bj_rows"):
+            # GGK lane: the fused kernel removes the gathered-X copies,
+            # but the W-side pre-arrangement (one take per component)
+            # and, measured on the chip, an XLA relayout copy of the
+            # pallas output both materialize (sc22_r2 10k w32 OOM:
+            # 4.8G output + 4.8G copy + 2x2.4G takes on a 15.75G chip)
+            row = lane.row
+            extra = lane.bj_rows * row.H * row.K + out
+            if getattr(row, "pre_perm", None) is not None:
+                extra += lane.bi_rows * _prod(row.view_x)
         elif getattr(s, "post_select", None) is not None:
             extra = out      # pre-selection output + selected copy
         peak = max(peak, sum(live.values()) + out + extra)

@@ -3,12 +3,13 @@
 Workload (BASELINE.json north star): 1,000 bitstring amplitudes of the
 n30 m14 EFGH random circuit in ONE sparse-state contraction, validated
 against Google's Schrodinger-Feynman ground-truth file.  The contraction
-plan (native-SA-optimized, sc_target=22, 8 sliced bonds -> 256 slices,
-executed 128 vmapped slices per scan step) is loaded
-from plans/n30_m14_sparse_sc22.json, so the bench measures compile+execute,
+plan (native-SA-optimized, 8 sliced bonds -> 256 slices, executed 128
+vmapped slices per scan step) is picked per workload — sc22_r2 at 1k,
+sc22 at 10k, both chip-measured — so the bench measures compile+execute,
 not planning.  Knobs: BENCH_PLAN (plan path), BENCH_WIDTH (slice-vmap
-width, default 128), BENCH_NBITS (amplitude count; 10000 = the
-north-star config), BENCH_KERNEL_CAP (Pallas step cap).
+width; default from the measured table, else the estimator), BENCH_NBITS
+(amplitude count; 10000 = the north-star config), BENCH_KERNEL_CAP
+(Pallas step cap).
 
 Baseline for vs_baseline: the reference implementation (Fanerst/artensor,
 torch) executing the SAME plan/scheme on the CPU available here (no CUDA
@@ -28,10 +29,26 @@ import numpy as np
 
 REF_CIRCUIT = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
 REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
-PLAN = os.environ.get("BENCH_PLAN", "plans/n30_m14_sparse_sc22.json")
 TORCH_CPU_BASELINE_S = 296.3  # measured; see module docstring
 N_BITSTRINGS = int(os.environ.get("BENCH_NBITS", "1000"))
 REPEATS = 3
+
+# Default plan per workload: the GGK-heavy sc22_r2 tree wins at 1k
+# amplitudes (0.89 s) but its gathered-step traffic scales with the batch
+# (roofline 2.57 s at 10k), where the sc22 tree's batch-lean steps win
+# (1.00 s) — both chip-measured, docs/BENCH_NOTES.md round 3.
+_DEFAULT_PLAN = ("plans/n30_m14_sparse_sc22_r2.json" if N_BITSTRINGS <= 2000
+                 else "plans/n30_m14_sparse_sc22.json")
+PLAN = os.environ.get("BENCH_PLAN", _DEFAULT_PLAN)
+
+# Measured-known-good slice-vmap widths for the default configs.  The
+# library's temp-aware width estimator is deliberately conservative (it
+# charges worst-case coexistence of gather temps); these ran on the chip.
+_KNOWN_WIDTHS = {
+    ("n30_m14_sparse_sc22_r2.json", 1000): 128,
+    ("n30_m14_sparse_sc22.json", 10000): 128,
+    ("n30_m14_sparse_sc22.json", 1000): 128,
+}
 
 
 def _fallback_bench():
@@ -116,14 +133,19 @@ def main():
         steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
     staged = stage_tensors(field, host_arrays)
     k = len(sliced)
-    width = int(os.environ.get("BENCH_WIDTH", "128"))
+    width_env = os.environ.get("BENCH_WIDTH")
+    if width_env is not None:
+        width = int(width_env)     # explicit override: trust the caller
+    else:
+        width = _KNOWN_WIDTHS.get((os.path.basename(PLAN), N_BITSTRINGS))
+        if width is None:
+            # unmeasured config: respect the temp-aware peak live set the
+            # (conservative) wall estimator computes
+            from artensor_tpu.runtime.metrics import scheme_wall_estimate
+            _, w_est, _ = scheme_wall_estimate(steps, k)
+            width = max(1, min(128, w_est))
     while (2 ** k) % width:        # largest dividing power of two
         width //= 2
-    # don't blow HBM batching few-slice plans wide: respect the
-    # temp-aware peak live set the wall estimator computes
-    from artensor_tpu.runtime.metrics import scheme_wall_estimate
-    _, w_est, _ = scheme_wall_estimate(steps, k)
-    width = max(1, min(width, w_est))
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bits_sorted),), field,
         slice_batch=width))
