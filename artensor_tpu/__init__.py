@@ -24,7 +24,7 @@ from .planner import (
     find_order,
     simulate_annealing,
 )
-from .utils import log2sumexp2, log10sumexp2
+from .utils import einsum_eq_convert, log2sumexp2, log10sumexp2
 
 __version__ = "0.2.0"
 
@@ -35,6 +35,7 @@ __all__ = [
     "GreedyOrderFinder",
     "find_order",
     "simulate_annealing",
+    "einsum_eq_convert",
     "log2sumexp2",
     "log10sumexp2",
 ]

@@ -33,13 +33,11 @@ import numpy as np
 
 from .lowering import lower_step
 
-# survivors re-sorted at every step (vs preserved big-side order): see
-# _time_sorted_output; flip measured via scripts/step_census.py
-SORT_SURVIVORS = False
-# minimal-inversion repair (LNDS hoist) in the preserve-order path:
-# measured on the sc22 census it LOWERED kernel coverage (layout changes
-# cascade non-locally), so it stays off until tuned per-consumer
-REPAIR_INVERSIONS = False
+# Survivor legs PRESERVE the big operand's order (never re-sorted).  Two
+# alternatives were measured and rejected on the sc22 census — full
+# re-sort and a minimal-inversion LNDS hoist both LOWERED kernel coverage
+# (layout changes cascade non-locally); see docs/BENCH_NOTES.md "Round 3:
+# pre-permuted gather-K form for no-f-run residuals" for the data.
 
 
 @dataclass(frozen=True)
@@ -154,35 +152,6 @@ def _time_sorted_output(bond_i, bond_j, new_bonds, time_of, big_is_i,
     fset = set(fresh)
     others = [b for b in xb if b in nset and b not in fset]
     others += [b for b in new_bonds if b not in fset and b not in set(others)]
-    if SORT_SURVIVORS:
-        others.sort(key=tkey)
-    elif REPAIR_INVERSIONS:
-        # minimal inversion repair: keep the longest non-decreasing (by
-        # contraction time) subsequence IN PLACE — preserving its runs and
-        # the trailing suffix — and hoist only the violators to the front
-        # (a late leg placed early is harmless downstream; an early leg
-        # placed late is what kills a consumer's trailing free run).
-        # Each hoisted leg costs at most one extra grid axis here.
-        keys = [tkey(b) for b in others]
-        n_o = len(others)
-        if n_o > 2:
-            best_len = [1] * n_o
-            prev = [-1] * n_o
-            for a in range(n_o):
-                for b2 in range(a):
-                    if keys[b2] <= keys[a] and best_len[b2] + 1 > best_len[a]:
-                        best_len[a] = best_len[b2] + 1
-                        prev[a] = b2
-            end = max(range(n_o), key=lambda a: best_len[a])
-            kept_idx = []
-            while end >= 0:
-                kept_idx.append(end)
-                end = prev[end]
-            kept = set(kept_idx)
-            moved = [others[a] for a in range(n_o) if a not in kept]
-            if moved:
-                moved.sort(key=tkey)
-                others = moved + [others[a] for a in sorted(kept)]
     if not fresh:
         return others
     if fresh_first:
