@@ -808,9 +808,17 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
                    (B, *row.dims_y), flops, est_s)
 
 
-def _ggk_specs(plan, width):
+def _ggk_specs(plan, width, n_chunks=1, w_batched=True):
     """(grid, xspec, wspec, yspec) — ``width`` 0 = unbatched, else the
-    slice-vmap width folded into a leading block dim."""
+    per-program slice-vmap width folded into a leading block dim.
+
+    ``n_chunks`` > 1 adds a leading GRID axis over width chunks (total
+    vmap width = n_chunks * width): the kernel walks the chunks with
+    direct block DMAs instead of the lax.map staging that materialized
+    dynamic-slice/update-slice passes over every operand (profiled at
+    ~0.14 s/run on the round-3 headline — docs/BENCH_NOTES.md round 4).
+    ``w_batched`` False = the small operand is slice-invariant and caries
+    NO width axis; every program reads the same (1, H, K) window."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -820,12 +828,19 @@ def _ggk_specs(plan, width):
                    if a == ("f", 0))
     row_grid = tuple(row.view_x[k] for k, a in enumerate(row.x_axes)
                      if a[0] == "g") + (F_units // bf,)
-    grid = (plan.B,) + row_grid
+    nc = 1 if n_chunks > 1 else 0
+    grid = ((n_chunks,) if nc else ()) + (plan.B,) + row_grid
     g_pos = {}
     for kind, gid in row.x_axes:
         if kind == "g":
             g_pos[gid] = 1 + len(g_pos)          # grid slot (b leads)
     nb = 1 if width else 0
+
+    def lead_of(gids):
+        # leading width-block coordinate: the chunk id when chunked
+        if not nb:
+            return ()
+        return (gids[0],) if nc else (0,)
 
     xblock = [width] if nb else []
     xblock.append(1)                             # the gathered row
@@ -841,23 +856,24 @@ def _ggk_specs(plan, width):
 
     def x_index(*args):
         gids, gi_ref = args[:-2], args[-2]
-        out = [gi_ref[gids[0]]]
+        out = [gi_ref[gids[nc]]]
         for kind, gid in row.x_axes:
             if kind == "c":
                 out.append(0)
             elif kind == "g":
-                out.append(gids[g_pos[gid]])
+                out.append(gids[nc + g_pos[gid]])
             elif gid == 0:
                 out.append(gids[-1])
             else:
                 out.append(0)
-        return ((0,) if nb else ()) + tuple(out)
+        return lead_of(gids) + tuple(out)
 
-    wblock = ([width] if nb else []) + [1, row.H, row.K]
+    wblock = ([width] if nb and w_batched else []) + [1, row.H, row.K]
 
     def w_index(*args):
         gids, gj_ref = args[:-2], args[-1]
-        return ((0,) if nb else ()) + (gj_ref[gids[0]], 0, 0)
+        lead = lead_of(gids) if w_batched else ()
+        return lead + (gj_ref[gids[nc]], 0, 0)
 
     yblock = [width] if nb else []
     yblock.append(1)
@@ -873,17 +889,17 @@ def _ggk_specs(plan, width):
 
     def y_index(*args):
         gids = args[:-2]
-        out = [gids[0]]
+        out = [gids[nc]]
         for a in row.y_axes:
             if a[0] == "g":
-                out.append(gids[g_pos[a[1]]])
+                out.append(gids[nc + g_pos[a[1]]])
             elif a[0] == "H":
                 out.append(0)
             elif a == ("f", 0):
                 out.append(gids[-1])
             else:
                 out.append(0)
-        return ((0,) if nb else ()) + tuple(out)
+        return lead_of(gids) + tuple(out)
 
     mk = lambda b, f: pl.BlockSpec(tuple(b), f, memory_space=pltpu.VMEM)
     return grid, mk(xblock, x_index), mk(wblock, w_index), \
@@ -891,25 +907,28 @@ def _ggk_specs(plan, width):
 
 
 def _ggk_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
-                or_ref, oi_ref, *, plan, width, precision=None):
+                or_ref, oi_ref, *, plan, width, precision=None,
+                w_batched=True):
     row = plan.row
     K = row.K
     bf = row.block // row.fm
     W = max(width, 1)
+    Ww = W if w_batched else 1
     # window: (width?, 1, c..., bf, fm) -> (W, K, bf, fm); collapsing
     # leading dims leaves the tiled minor dims untouched
     xr = xr_ref[...].reshape(W, K, bf, row.fm)
     xi = xi_ref[...].reshape(W, K, bf, row.fm)
-    wr = wr_ref[...].reshape(W, row.H, K)
-    wi = wi_ref[...].reshape(W, row.H, K)
+    wr = wr_ref[...].reshape(Ww, row.H, K)
+    wi = wi_ref[...].reshape(Ww, row.H, K)
     for s in range(W):
         lead = (s, 0) if width else (0,)
+        sw = s if w_batched else 0
 
         def put(h_sel, fi, re, im, lead=lead):
             or_ref[_store_idx(row, 0, h_sel, fi, lead=lead)] = re
             oi_ref[_store_idx(row, 0, h_sel, fi, lead=lead)] = im
 
-        _gk_body(row, xr[s], xi[s], wr[s], wi[s], put, precision)
+        _gk_body(row, xr[s], xi[s], wr[sw], wi[sw], put, precision)
 
 
 def _rg_wshape(row):
@@ -930,33 +949,45 @@ def _rg_pad(view):
     return view if len(view) >= 2 else (1,) + view
 
 
-def _rg_specs(plan, width):
-    """Specs for the reduction-form row: grid (B,), whole-row blocks."""
+def _rg_specs(plan, width, n_chunks=1, w_batched=True):
+    """Specs for the reduction-form row: grid (B,), whole-row blocks.
+    ``n_chunks``/``w_batched`` as in _ggk_specs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     row = plan.row
     nb = 1 if width else 0
+    nc = 1 if n_chunks > 1 else 0
     view_x = _rg_pad(row.view_x)
     view_y = _rg_pad(_rg_view_y(row))
     nx = len(view_x)
     ny = len(view_y)
     wshape = _rg_wshape(row)
 
-    def x_index(b, gi_ref, gj_ref):
-        return ((0,) if nb else ()) + (gi_ref[b],) + (0,) * nx
+    def lead_of(gids):
+        if not nb:
+            return ()
+        return (gids[0],) if nc else (0,)
 
-    def w_index(b, gi_ref, gj_ref):
-        return ((0,) if nb else ()) + (gj_ref[b], 0) + (0,) * len(wshape)
+    def x_index(*args):
+        gids, gi_ref = args[:-2], args[-2]
+        return lead_of(gids) + (gi_ref[gids[nc]],) + (0,) * nx
 
-    def y_index(b, gi_ref, gj_ref):
-        return ((0,) if nb else ()) + (b,) + (0,) * ny
+    def w_index(*args):
+        gids, gj_ref = args[:-2], args[-1]
+        lead = lead_of(gids) if w_batched else ()
+        return lead + (gj_ref[gids[nc]], 0) + (0,) * len(wshape)
+
+    def y_index(*args):
+        gids = args[:-2]
+        return lead_of(gids) + (gids[nc],) + (0,) * ny
 
     lead = [width] if nb else []
+    wlead = [width] if nb and w_batched else []
     mk = lambda bl, f: pl.BlockSpec(tuple(bl), f, memory_space=pltpu.VMEM)
-    return ((plan.B,),
+    return (((n_chunks,) if nc else ()) + (plan.B,),
             mk(lead + [1, *view_x], x_index),
-            mk(lead + [1, row.H, *wshape], w_index),
+            mk(wlead + [1, row.H, *wshape], w_index),
             mk(lead + [1, *view_y], y_index))
 
 
@@ -972,12 +1003,14 @@ def _rg_view_y(row):
 
 
 def _rg_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
-               or_ref, oi_ref, *, plan, width, precision=None):
+               or_ref, oi_ref, *, plan, width, precision=None,
+               w_batched=True):
     import jax.numpy as jnp
 
     row = plan.row
     H = row.H
     W = max(width, 1)
+    Ww = W if w_batched else 1
     view = row.view_x          # canonical (F, K) or (K,)
     two = len(view) == 2
     wshape = _rg_wshape(row)
@@ -986,13 +1019,14 @@ def _rg_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
     # W window is PRE-SHAPED (outside the kernel) to (H, *wshape): K on
     # the lanes, a size-1 broadcast axis over the frees — the multiply
     # below is a pure broadcast, no in-VMEM relayout
-    wr_all = wr_ref[...].reshape((W, H) + wshape)
-    wi_all = wi_ref[...].reshape((W, H) + wshape)
+    wr_all = wr_ref[...].reshape((Ww, H) + wshape)
+    wi_all = wi_ref[...].reshape((Ww, H) + wshape)
     for s in range(W):
         xr, xi = xr_all[s], xi_all[s]
+        sw = s if w_batched else 0
         for h in range(H):
-            whr = wr_all[s, h]
-            whi = wi_all[s, h]
+            whr = wr_all[sw, h]
+            whi = wi_all[sw, h]
             re = (xr * whr - xi * whi).sum(axis=-1)   # (F,) or ()
             im = (xr * whi + xi * whr).sum(axis=-1)
             lead = (s, 0) if width else (0,)
@@ -1011,34 +1045,43 @@ def _rg_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
 
 
 def _ggk_call(plan, interpret, width, precision,
-              xr, xi, wr, wi):
-    """One pallas_call; operands (width?, Bi, *view_x) / (width?, Bj, H, K)."""
+              xr, xi, wr, wi, wc=None, w_batched=True):
+    """One pallas_call; operands (width?, Bi, *view_x) / (width?, Bj, H, K).
+
+    ``wc`` (default ``width``) is the per-program width block; when it
+    divides ``width`` strictly the width is walked by a leading GRID axis
+    of ``width // wc`` chunks — direct block DMAs, no staging copies.
+    ``w_batched`` False = wr/wi carry no width axis (slice-invariant)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     row = plan.row
+    wc = width if wc is None else wc
+    n_chunks = (width // wc) if width and wc else 1
     if isinstance(row, RGRow):
-        grid, xspec, wspec, yspec = _rg_specs(plan, width)
+        grid, xspec, wspec, yspec = _rg_specs(plan, wc, n_chunks, w_batched)
         view_y = _rg_pad(_rg_view_y(row))
         kern = _rg_kernel
     else:
-        grid, xspec, wspec, yspec = _ggk_specs(plan, width)
+        grid, xspec, wspec, yspec = _ggk_specs(plan, wc, n_chunks, w_batched)
         view_y = row.view_y
         kern = _ggk_kernel
     w_ = max(width, 1)
     lead = (width,) if width else ()
     out_shape = jax.ShapeDtypeStruct(lead + (plan.B,) + tuple(view_y),
                                      jnp.float32)
-    traffic = 4 * 2 * w_ * plan.B * (
-        _prod(row.view_x) + row.K * row.H + _prod(view_y))
+    traffic = 4 * 2 * plan.B * (
+        w_ * (_prod(row.view_x) + _prod(view_y))
+        + (w_ if w_batched else 1) * row.K * row.H)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=grid,
         in_specs=[xspec, xspec, wspec, wspec],
         out_specs=(yspec, yspec))
     return pl.pallas_call(
-        partial(kern, plan=plan, width=width, precision=precision),
+        partial(kern, plan=plan, width=wc, precision=precision,
+                w_batched=w_batched),
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape),
         compiler_params=pltpu.CompilerParams(
@@ -1050,16 +1093,18 @@ def _ggk_call(plan, interpret, width, precision,
     )(jnp.asarray(plan.gi), jnp.asarray(plan.gj), xr, xi, wr, wi)
 
 
-def ggk_window_bytes(plan, width):
+def ggk_window_bytes(plan, width, w_batched=True):
     """Padded VMEM bytes of the (double-buffered) block windows at a
-    given folded width."""
+    given folded width.  ``w_batched`` False = the W window carries no
+    width axis (slice-invariant small operand)."""
     from .lanes import _padded_elems
 
     row = plan.row
     w_ = max(width, 1)
+    ww = w_ if w_batched else 1
     if isinstance(row, RGRow):
         return 4 * 2 * 2 * (_padded_elems([w_, 1, *_rg_pad(row.view_x)])
-                            + _padded_elems([w_, 1, row.H,
+                            + _padded_elems([ww, 1, row.H,
                                              *_rg_wshape(row)])
                             + _padded_elems([w_, 1,
                                              *_rg_pad(_rg_view_y(row))]))
@@ -1074,7 +1119,7 @@ def ggk_window_bytes(plan, width):
             xw.append(bf)
         else:
             xw.append(row.fm)
-    ww = [w_, 1, row.H, row.K]
+    wwin = [ww, 1, row.H, row.K]
     yw = [w_, 1]
     for a in row.y_axes:
         if a[0] == "g":
@@ -1085,7 +1130,7 @@ def ggk_window_bytes(plan, width):
             yw.append(bf)
         else:
             yw.append(row.fm)
-    return 4 * 2 * 2 * (_padded_elems(xw) + _padded_elems(ww)
+    return 4 * 2 * 2 * (_padded_elems(xw) + _padded_elems(wwin)
                         + _padded_elems(yw))
 
 
@@ -1136,33 +1181,36 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
     @ggk.def_vmap
     def ggk_vmap(axis_size, in_batched, xr, xi, wr, wi):
         W = axis_size
-        args = (xr, xi, wr, wi)
-        stacked = tuple(
-            a if b else jnp.broadcast_to(a[None], (W,) + a.shape)
-            for a, b in zip(args, in_batched))
-        xr_, xi_, wr_, wi_ = stacked
-        whr = jnp.take(wr_.reshape(W, plan.bj_rows, -1), idx_flat, axis=2) \
-            .reshape((W, plan.bj_rows) + w_view)
-        whi = jnp.take(wi_.reshape(W, plan.bj_rows, -1), idx_flat, axis=2) \
-            .reshape((W, plan.bj_rows) + w_view)
-        xrv = xr_.reshape((W, plan.bi_rows) + x_view)
-        xiv = xi_.reshape((W, plan.bi_rows) + x_view)
+        xbat = in_batched[0] or in_batched[1]
+        wbat = in_batched[2] or in_batched[3]
+        if not xbat:
+            xr = jnp.broadcast_to(xr[None], (W,) + xr.shape)
+            xi = jnp.broadcast_to(xi[None], (W,) + xi.shape)
+        if wbat:
+            whr = jnp.take(wr.reshape(W, plan.bj_rows, -1), idx_flat,
+                           axis=2).reshape((W, plan.bj_rows) + w_view)
+            whi = jnp.take(wi.reshape(W, plan.bj_rows, -1), idx_flat,
+                           axis=2).reshape((W, plan.bj_rows) + w_view)
+        else:
+            # slice-invariant small operand (e.g. a folded gate block):
+            # gather it ONCE and let every program read the same window —
+            # round-3 broadcast-then-take materialized W copies of it
+            # (profiled ~60 ms/run of take + relayout on the headline)
+            whr = jnp.take(wr.reshape(plan.bj_rows, -1), idx_flat,
+                           axis=1).reshape((plan.bj_rows,) + w_view)
+            whi = jnp.take(wi.reshape(plan.bj_rows, -1), idx_flat,
+                           axis=1).reshape((plan.bj_rows,) + w_view)
+        xrv = xr.reshape((W, plan.bi_rows) + x_view)
+        xiv = xi.reshape((W, plan.bi_rows) + x_view)
         # fold the width into the block windows while they fit VMEM;
-        # chunk with lax.map beyond that
+        # beyond that, walk width chunks with a leading grid axis
         wc = W
-        while wc > 1 and (ggk_window_bytes(plan, wc) > GK_VMEM_BUDGET
+        while wc > 1 and (ggk_window_bytes(plan, wc, wbat) > GK_VMEM_BUDGET
                           or W % wc):
             wc //= 2
-        if wc == W:
-            yr, yi = _ggk_call(plan, interpret, W, precision,
-                               xrv, xiv, whr, whi)
-            return (yr, yi), (True, True)
-        resh = lambda a: a.reshape((W // wc, wc) + a.shape[1:])
-        yr, yi = jax.lax.map(
-            lambda t: _ggk_call(plan, interpret, wc, precision, *t),
-            (resh(xrv), resh(xiv), resh(whr), resh(whi)))
-        merge = lambda a: a.reshape((W,) + a.shape[2:])
-        return (merge(yr), merge(yi)), (True, True)
+        yr, yi = _ggk_call(plan, interpret, W, precision,
+                           xrv, xiv, whr, whi, wc=wc, w_batched=wbat)
+        return (yr, yi), (True, True)
 
     yr, yi = ggk(xv[0].reshape(-1), xv[1].reshape(-1),
                  wv[0].reshape(-1), wv[1].reshape(-1))

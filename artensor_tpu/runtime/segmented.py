@@ -88,7 +88,7 @@ def make_segmented_executor(steps, apply_step, field, segment_steps=64,
 
 def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
                   field, apply_step, segment_steps=64, progress=None,
-                  slice_batch=1, slice_ids=None):
+                  slice_batch=1, slice_ids=None, audit_width=True):
     """Full contraction in segmented mode with a host-side slice loop.
 
     ``slice_batch`` > 1 vmaps that many slices through every segment
@@ -96,11 +96,23 @@ def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
     (measured 12.0 -> 5.8 s there); peak memory scales with the width.
     ``slice_ids`` restricts the loop to a subset of slice ids (the
     multi-device composition partitions ids across devices).
+    ``audit_width`` clamps the requested width to what the temp-aware
+    peak live set allows (metrics.max_safe_slice_batch) — the same HBM
+    audit the monolithic path applies; pass False to force the width.
     """
     from .executor import slice_select
 
     total = 2 ** num_sliced if num_sliced else 1
     ids = list(range(total)) if slice_ids is None else list(slice_ids)
+    if audit_width and slice_batch > 1:
+        from .metrics import max_safe_slice_batch
+        safe = max_safe_slice_batch(steps, slice_batch)
+        if safe < slice_batch:
+            import logging
+            logging.getLogger(__name__).warning(
+                "segmented slice_batch %d exceeds the temp-aware HBM "
+                "audit; clamping to %d", slice_batch, safe)
+            slice_batch = safe
     W = slice_batch if slice_batch > 1 and len(ids) % slice_batch == 0 else 1
     run_once, _ = make_segmented_executor(steps, apply_step, field,
                                           segment_steps, vmapped=W > 1)

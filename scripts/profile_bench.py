@@ -48,12 +48,15 @@ def main():
     tb2, fq2 = ntn.simplify("sparse")
     order, sliced, ctree = plan_io.load_plan(PLAN)
     sc = float(PLAN.rsplit("sc", 1)[1].split("_")[0].split(".")[0])
-    steps, ob, bs = contraction_scheme_sparse(ctree, bits, sc_target=sc)
+    from artensor_tpu.runtime.scheme_cache import cached_scheme_sparse
+    steps, ob, bs = cached_scheme_sparse(PLAN, ctree, bits, sc_target=sc)
     print("# kernel steps:", sum(1 for s in steps if s.lane is not None))
     field = make_field(np.complex64, "highest", "split")
-    staged = jax.device_put(stage_tensors(
-        field, [ntn.tensors[i] for i in range(len(ntn.tensors))]))
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
+    from artensor_tpu.runtime.executor import precompute_static_steps
+    steps, host_arrays = precompute_static_steps(
+        steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
+    staged = jax.device_put(stage_tensors(field, host_arrays))
     k = len(sliced)
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bs),), field,

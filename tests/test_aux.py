@@ -417,6 +417,40 @@ def test_segmented_slice_batch_and_sharded(sparse_scheme):
     assert np.abs(mono - field.unwrap(sharded)).max() < 1e-12
 
 
+def test_segmented_width_audit(sparse_scheme):
+    """The temp-aware HBM audit clamps an oversized segmented slice-batch
+    (the n53 batch-4 OOM class) to a safe power of two — and the clamped
+    run still reproduces the monolithic result."""
+    from artensor_tpu.runtime.metrics import (
+        max_safe_slice_batch, scheme_peak_live_bytes)
+    from artensor_tpu.runtime.segmented import (
+        apply_sparse_step, run_segmented)
+    from artensor_tpu.runtime.sparse import execute_sparse
+
+    ntn, steps, axes, k, bits_sorted, want = sparse_scheme
+    peak = scheme_peak_live_bytes(steps)
+    # a budget of 2 peaks allows exactly width 2
+    assert max_safe_slice_batch(steps, 64, hbm_budget_bytes=2 * peak) == 2
+    assert max_safe_slice_batch(steps, 1, hbm_budget_bytes=2 * peak) == 1
+    # never below 1 even when a single slice exceeds the budget
+    assert max_safe_slice_batch(steps, 8, hbm_budget_bytes=peak / 2) == 1
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field,
+                           [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    mono = field.unwrap(jax.jit(make_sliced_runner(
+        execute_sparse, steps, axes, k, (len(bits_sorted),), field))(staged))
+    import artensor_tpu.planner.cost as cost
+    old = cost.HBM_BUDGET_BYTES
+    cost.HBM_BUDGET_BYTES = 2 * peak     # audit clamps 8 -> 2
+    try:
+        seg = run_segmented(staged, steps, axes, k, (len(bits_sorted),),
+                            field, apply_sparse_step, segment_steps=9,
+                            slice_batch=8)
+    finally:
+        cost.HBM_BUDGET_BYTES = old
+    assert np.abs(mono - field.unwrap(seg)).max() < 1e-12
+
+
 def test_scheme_wall_estimate_and_peak(sparse_scheme):
     """scheme_peak_live_bytes >= the largest single buffer; the wall
     estimate is positive, finite, and its width respects the HBM budget

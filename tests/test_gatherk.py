@@ -519,9 +519,15 @@ def test_headline_scheme_kernel_steps_oracle():
 
 # -- gathered gather-K (aligned steps) --------------------------------------
 
-def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0):
+def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0,
+                w_unbatched=False, vmem_budget=None):
     """Build an aligned-step instance, run the GGK kernel (interpret) and
-    check against the take+einsum reference."""
+    check against the take+einsum reference.
+
+    ``w_unbatched``: vmap the X pair only (W in_axes None — the
+    slice-invariant small-operand fast path).  ``vmem_budget``: shrink
+    GK_VMEM_BUDGET so the call walks width chunks via the leading grid
+    axis."""
     from artensor_tpu.runtime.gatherk import apply_ggk_step, plan_ggk_step
 
     rng = np.random.default_rng(seed)
@@ -535,7 +541,8 @@ def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0):
         gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
     assert plan is not None, gk.LAST_REJECT
     shp_i = (width, bi, *rd_i) if width else (bi, *rd_i)
-    shp_j = (width, bj, *rd_j) if width else (bj, *rd_j)
+    shp_j = (bj, *rd_j) if w_unbatched or not width \
+        else (width, bj, *rd_j)
     x = (rng.standard_normal(shp_i) + 1j * rng.standard_normal(shp_i)) \
         .astype(np.complex64)
     w = (rng.standard_normal(shp_j) + 1j * rng.standard_normal(shp_j)) \
@@ -543,30 +550,40 @@ def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0):
     lab = {l: k for k, l in enumerate({*rx_i, *rx_j, *riy})}
     wlab, blab = len(lab), len(lab) + 1
     xg = np.take(x, gi, axis=1 if width else 0)
-    wg = np.take(w, gj, axis=1 if width else 0)
+    w_lead = bool(width) and not w_unbatched
+    wg = np.take(w, gj, axis=1 if w_lead else 0)
     lead = [wlab] if width else []
     want = np.einsum(xg, [*lead, blab, *[lab[l] for l in rx_i]],
-                     wg, [*lead, blab, *[lab[l] for l in rx_j]],
+                     wg, [*(lead if w_lead else []), blab,
+                          *[lab[l] for l in rx_j]],
                      [*lead, blab, *[lab[l] for l in riy]])
     field = make_field(np.complex64, "highest", "split")
     import jax
 
-    def one(xs, ws):
-        return apply_gg(field, xs, ws, plan)
-
     def apply_gg(field, xs, ws, plan):
         return apply_ggk_step(field, xs, ws, plan, interpret=True)
 
-    if width:
-        xs = field.wrap(x.reshape(width, -1))
-        ws = field.wrap(w.reshape(width, -1))
-        got = jax.vmap(lambda a, b, c, d: apply_gg(field, (a, b), (c, d),
-                                                   plan))(
-            xs[0], xs[1], ws[0], ws[1])
-    else:
-        xs = field.wrap(x.reshape(-1))
-        ws = field.wrap(w.reshape(-1))
-        got = apply_gg(field, xs, ws, plan)
+    old_budget = gk.GK_VMEM_BUDGET
+    if vmem_budget is not None:
+        gk.GK_VMEM_BUDGET = vmem_budget
+    try:
+        if width and w_unbatched:
+            xs = field.wrap(x.reshape(width, -1))
+            ws = field.wrap(w.reshape(-1))
+            got = jax.vmap(
+                lambda a, b: apply_gg(field, (a, b), ws, plan))(
+                xs[0], xs[1])
+        elif width:
+            xs = field.wrap(x.reshape(width, -1))
+            ws = field.wrap(w.reshape(width, -1))
+            got = jax.vmap(lambda a, b, c, d: apply_gg(
+                field, (a, b), (c, d), plan))(xs[0], xs[1], ws[0], ws[1])
+        else:
+            xs = field.wrap(x.reshape(-1))
+            ws = field.wrap(w.reshape(-1))
+            got = apply_gg(field, xs, ws, plan)
+    finally:
+        gk.GK_VMEM_BUDGET = old_budget
     g = field.unwrap(got).reshape(want.shape)
     err = np.abs(g - want).max() / max(np.abs(want).max(), 1e-30)
     assert err < 2e-4, err
@@ -594,6 +611,42 @@ def test_ggk_batched_widths():
                     ("h", "f0", "f1"),
                     (2, 4, 2, 128), (2, 4, 2), B=12, bi=5, bj=4,
                     width=width, seed=width)
+
+
+def test_ggk_unbatched_w():
+    """Slice-invariant W (vmap in_axes None): gathered once, every width
+    program reads the same window — no broadcast materialization."""
+    for width in (2, 4):
+        _ggk_oracle(("k0", "k1", "f0", "f1"), ("k0", "k1", "h"),
+                    ("h", "f0", "f1"),
+                    (2, 4, 2, 128), (2, 4, 2), B=12, bi=5, bj=4,
+                    width=width, seed=10 + width, w_unbatched=True)
+
+
+def test_ggk_chunked_grid():
+    """A tiny VMEM budget forces width chunking via the leading grid axis
+    (round 3 staged chunks with lax.map copies instead) — batched and
+    unbatched W, MXU and reduction rows."""
+    common = dict(B=12, bi=5, bj=4, width=4)
+    # MXU row, batched W; budget forces wc=1
+    _ggk_oracle(("k0", "k1", "f0", "f1"), ("k0", "k1", "h"),
+                ("h", "f0", "f1"),
+                (2, 4, 2, 128), (2, 4, 2), seed=21,
+                vmem_budget=40_000, **common)
+    # MXU row, unbatched W
+    _ggk_oracle(("k0", "k1", "f0", "f1"), ("k0", "k1", "h"),
+                ("h", "f0", "f1"),
+                (2, 4, 2, 128), (2, 4, 2), seed=22,
+                vmem_budget=40_000, w_unbatched=True, **common)
+    # reduction row, batched + unbatched W
+    _ggk_oracle(("k0", "k1", "f0", "k2", "f1"), ("k1", "k0", "k2", "h"),
+                ("h", "f0", "f1"),
+                (4, 2, 2, 16, 4), (2, 4, 16, 2), seed=23,
+                vmem_budget=20_000, **common)
+    _ggk_oracle(("k0", "k1", "f0", "k2", "f1"), ("k1", "k0", "k2", "h"),
+                ("h", "f0", "f1"),
+                (4, 2, 2, 16, 4), (2, 4, 16, 2), seed=24,
+                vmem_budget=20_000, w_unbatched=True, **common)
 
 
 def test_ggk_rejections():
