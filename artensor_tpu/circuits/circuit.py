@@ -161,7 +161,7 @@ class TensorNetworkCircuit:
             for name, qubits, params in layer:
                 builder, nq = QSIM_GATES[name]
                 g = builder(*params)
-                if nq == 1:
+                if (nq or len(qubits)) == 1:
                     psi = np.moveaxis(
                         np.tensordot(g, psi, axes=([1], [qubits[0]])),
                         0, qubits[0])
@@ -182,7 +182,7 @@ class TensorNetworkCircuit:
             for name, qubits, params in layer:
                 builder, nq = QSIM_GATES[name]
                 g = builder(*params)
-                if nq == 1:
+                if (nq or len(qubits)) == 1:
                     q = qubits[0]
                     mps[q] = np.einsum("abc,db->adc", mps[q], g)
                 else:

@@ -15,6 +15,14 @@ Gate-matrix equivalences (verified against cirq unitaries):
   Rz(r)                       -> 'rz' with phi = r
   FSimGate(theta, phi)        -> 'fsim'
 
+Beyond the Sycamore vocabulary, standard cirq gates lower to their
+UNITARY MATRIX (the reference's generic approach,
+/root/reference/examples/load_circuits.py:289-315 `cirq.unitary(gate)`):
+X/Y/Z/H at any exponent (principal-branch eigenvalue power, cirq's
+convention), PhasedXPowGate at any (phase_exponent, exponent) = Z^a X^t
+Z^-a, Rx/Ry/Rz, S, T, CZ/ISWAP (any exponent), CNOT/CX — emitted as the
+'__matrix__' pseudo-gate carrying the matrix as its parameter.
+
 SECURITY: the file is validated against a strict AST allowlist before being
 executed — only module-level assignments of literal gate-constructor
 expressions (the exact shape the generator emits) are admitted, so arbitrary
@@ -37,7 +45,8 @@ _ALLOWED_NODES = (
 _ALLOWED_IMPORTS = {"cirq", "numpy", "math"}
 _ALLOWED_ATTRS = {
     "GridQubit", "Moment", "Circuit", "X", "Y", "Z", "PhasedXPowGate",
-    "Rz", "FSimGate", "ISWAP", "CZ", "pi", "e", "on",
+    "Rx", "Ry", "Rz", "FSimGate", "ISWAP", "CZ", "CNOT", "CX",
+    "H", "S", "T", "pi", "e", "on",
 }
 
 
@@ -102,32 +111,86 @@ class _Gate:
         return self.on(*qubits)
 
 
-class _PowBase:
-    """cirq.X / cirq.Y support only the **0.5 form these files use."""
+def _pow_u(U, t):
+    """Principal-branch matrix power — cirq's ``*PowGate`` convention
+    (eigenvalue e^{i theta}, theta in (-pi, pi], raised as e^{i theta t})."""
+    vals, vecs = np.linalg.eig(np.asarray(U, dtype=np.complex128))
+    return (vecs * np.exp(t * np.log(vals))) @ np.conj(vecs.T)
 
-    def __init__(self, name):
+
+_X = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+_Y = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+_Z = np.diag([1.0, -1.0]).astype(np.complex128)
+_H = np.array([[1, 1], [1, -1]], dtype=np.complex128) / math.sqrt(2)
+_CZ = np.diag([1, 1, 1, -1]).astype(np.complex128)
+_ISWAP = np.array([[1, 0, 0, 0], [0, 0, 1j, 0],
+                   [0, 1j, 0, 0], [0, 0, 0, 1]], dtype=np.complex128)
+_CNOT = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                  [0, 0, 0, 1], [0, 0, 1, 0]], dtype=np.complex128)
+
+
+class _MatGate(_Gate):
+    """Any gate outside the named Sycamore vocabulary, carried as its
+    unitary matrix (the reference's cirq.unitary approach)."""
+
+    def __init__(self, U):
+        U = np.asarray(U, dtype=np.complex128)
+        super().__init__("__matrix__", (U,))
+        self.U = U
+
+    def __pow__(self, t):
+        return _MatGate(_pow_u(self.U, t))
+
+
+class _PowBase:
+    """cirq.X / cirq.Y / cirq.Z / H / CZ / ISWAP: the Sycamore **0.5
+    forms keep their named qsim lowering; any other exponent lowers to
+    the principal-branch matrix power."""
+
+    def __init__(self, name, U, named=None, named_exp=1.0):
         self.name = name
+        self.U = np.asarray(U, dtype=np.complex128)
+        self._named = named              # qsim name at named_exp, if any
+        self._named_exp = named_exp
 
     def __pow__(self, exponent):
-        if exponent != 0.5:
-            raise NotImplementedError(
-                f"{self.name}**{exponent} not used by Sycamore circuit files")
-        return _Gate(f"{self.name.lower()}_1_2")
+        if self._named is not None and exponent == self._named_exp:
+            return _Gate(self._named)
+        return _MatGate(_pow_u(self.U, exponent))
+
+    # bare use (X.on(q) / X(q)) = exponent 1
+    def on(self, *qubits):
+        return (self ** 1.0).on(*qubits)
+
+    def __call__(self, *qubits):
+        return self.on(*qubits)
 
 
-def _phased_x(phase_exponent, exponent):
-    if (phase_exponent, exponent) != (0.25, 0.5):
-        raise NotImplementedError(
-            "only PhasedXPowGate(0.25, 0.5) (= W^1/2) appears in these files")
-    return _Gate("hz_1_2")
+def _phased_x(phase_exponent=0.0, exponent=1.0):
+    if (phase_exponent, exponent) == (0.25, 0.5):
+        return _Gate("hz_1_2")
+    # cirq: PhasedXPowGate(a, t) = Z^a X^t Z^-a (incl. XPow global phase)
+    za = _pow_u(_Z, phase_exponent)
+    return _MatGate(za @ _pow_u(_X, exponent) @ np.conj(za.T))
 
 
 def _shim_namespace(collector):
     shim = types.ModuleType("cirq")
     shim.GridQubit = _Qubit
-    shim.X = _PowBase("X")
-    shim.Y = _PowBase("Y")
+    shim.X = _PowBase("X", _X, named="x_1_2", named_exp=0.5)
+    shim.Y = _PowBase("Y", _Y, named="y_1_2", named_exp=0.5)
+    shim.Z = _PowBase("Z", _Z)
+    shim.H = _PowBase("H", _H, named="h")
+    shim.S = _MatGate(np.diag([1.0, 1j]))
+    shim.T = _MatGate(np.diag([1.0, np.exp(0.25j * math.pi)]))
+    shim.CZ = _PowBase("CZ", _CZ, named="cz")
+    shim.ISWAP = _PowBase("ISWAP", _ISWAP)
+    shim.CNOT = shim.CX = _PowBase("CNOT", _CNOT, named="cnot")
     shim.PhasedXPowGate = _phased_x
+    shim.Rx = lambda rads: _MatGate(
+        math.cos(rads / 2) * np.eye(2) - 1j * math.sin(rads / 2) * _X)
+    shim.Ry = lambda rads: _MatGate(
+        math.cos(rads / 2) * np.eye(2) - 1j * math.sin(rads / 2) * _Y)
     shim.Rz = lambda rads: _Gate("rz", (float(rads),))
     shim.FSimGate = lambda theta, phi: _Gate("fsim", (float(theta), float(phi)))
     shim.Moment = lambda operations: list(operations)

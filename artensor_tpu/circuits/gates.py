@@ -109,8 +109,22 @@ def zz(beta):
     return (np.exp(-0.5j * beta) * np.kron(pz, pz)).reshape(2, 2, 2, 2)
 
 
+def matrix_gate(U):
+    """Generic gate from an explicit unitary matrix (the cirq front end's
+    fallback for gates outside the named vocabulary — mirrors the
+    reference's cirq.unitary extraction,
+    /root/reference/examples/load_circuits.py:289-315).  2^q x 2^q input,
+    reshaped to the (out..., in...) tensor convention."""
+    U = np.asarray(U, dtype=np.complex128)
+    q = int(round(np.log2(U.shape[0])))
+    assert U.shape == (2 ** q, 2 ** q), U.shape
+    return U.reshape((2,) * (2 * q))
+
+
 # qsim text-format gate names -> (builder, n_qubits)
 QSIM_GATES = {
+    # n_qubits None: derived from the op's qubit list
+    "__matrix__": (matrix_gate, None),
     "h": (h, 1),
     "t": (t, 1),
     "s": (s, 1),

@@ -110,7 +110,7 @@ class MPS:
 
         builder, nq = QSIM_GATES[name]
         g = builder(*params)
-        if nq == 1:
+        if (nq or len(qubits)) == 1:
             self.apply_1q(g, qubits[0])
         else:
             q1, q2 = qubits

@@ -48,8 +48,11 @@ def test_gates_are_unitary():
     for name, (builder, nq) in gates.QSIM_GATES.items():
         params = {"rz": (0.7,), "t": (0.3,), "u3": (0.5, 0.2, 0.1),
                   "cu3": (0.5, 0.2, 0.1), "fs": (1.2, 0.4), "fsim": (1.2, 0.4),
-                  "zz": (0.9,)}.get(name, ())
-        g = builder(*params).reshape(2 ** nq, 2 ** nq)
+                  "zz": (0.9,),
+                  "__matrix__": (np.diag([1.0, 1j]),)}.get(name, ())
+        g = builder(*params)
+        nq = nq or g.ndim // 2
+        g = g.reshape(2 ** nq, 2 ** nq)
         assert np.allclose(g @ g.conj().T, np.eye(2 ** nq), atol=1e-12), name
 
 
@@ -159,6 +162,84 @@ def test_cirq_loader_n30():
     tb, bd, fq = c.to_abstract_tn()
     assert len(tb) == 30 + 1270
     assert len(fq) == 30
+
+
+def test_cirq_loader_generic_gates(tmp_path):
+    """A NON-Sycamore generated-style file: gates outside the named
+    vocabulary fall back to their unitary matrices (the reference's
+    cirq.unitary approach) and the loaded circuit's state vector matches
+    an independent dense simulation built from cirq's documented
+    conventions."""
+    src = """import cirq
+QUBIT_ORDER = [cirq.GridQubit(0, 0), cirq.GridQubit(0, 1),
+               cirq.GridQubit(1, 0)]
+CIRCUIT = cirq.Circuit([
+    cirq.Moment([(cirq.X**0.25).on(cirq.GridQubit(0, 0)),
+                 cirq.H.on(cirq.GridQubit(0, 1)),
+                 (cirq.Y**0.5).on(cirq.GridQubit(1, 0))]),
+    cirq.Moment([(cirq.CZ**0.3).on(cirq.GridQubit(0, 0),
+                                   cirq.GridQubit(0, 1)),
+                 cirq.Rx(0.7).on(cirq.GridQubit(1, 0))]),
+    cirq.Moment([(cirq.ISWAP**0.5).on(cirq.GridQubit(0, 1),
+                                      cirq.GridQubit(1, 0)),
+                 cirq.T.on(cirq.GridQubit(0, 0))]),
+    cirq.Moment([cirq.PhasedXPowGate(phase_exponent=0.1,
+                                     exponent=0.7).on(
+                     cirq.GridQubit(0, 0)),
+                 cirq.Ry(0.3).on(cirq.GridQubit(0, 1)),
+                 (cirq.Z**0.6).on(cirq.GridQubit(1, 0))]),
+])
+"""
+    p = tmp_path / "circuit_n3_generic.py"
+    p.write_text(src)
+    n, layers = load_cirq_circuit(str(p))
+    assert n == 3
+    got = TensorNetworkCircuit((n, layers)).state_vec().reshape(-1)
+
+    # independent construction from cirq's documented unitaries
+    c2, s2 = np.cos, np.sin
+    X = np.array([[0, 1], [1, 0]], complex)
+    Y = np.array([[0, -1j], [1j, 0]], complex)
+    H = np.array([[1, 1], [1, -1]], complex) / np.sqrt(2)
+
+    def xpow(t):     # e^{i pi t/2} [[c, -is], [-is, c]], a = pi t / 2
+        a = np.pi * t / 2
+        return np.exp(1j * a) * np.array([[c2(a), -1j * s2(a)],
+                                          [-1j * s2(a), c2(a)]])
+
+    def ypow(t):
+        a = np.pi * t / 2
+        return np.exp(1j * a) * (c2(a) * np.eye(2) - 1j * s2(a) * Y)
+
+    zpow = lambda t: np.diag([1.0, np.exp(1j * np.pi * t)])
+    czpow = lambda t: np.diag([1, 1, 1, np.exp(1j * np.pi * t)])
+    iswap_half = np.array(
+        [[1, 0, 0, 0],
+         [0, 1 / np.sqrt(2), 1j / np.sqrt(2), 0],
+         [0, 1j / np.sqrt(2), 1 / np.sqrt(2), 0],
+         [0, 0, 0, 1]], complex)
+    rx = lambda r: c2(r / 2) * np.eye(2) - 1j * s2(r / 2) * X
+    ry = lambda r: c2(r / 2) * np.eye(2) - 1j * s2(r / 2) * Y
+    phx = zpow(0.1) @ xpow(0.7) @ np.conj(zpow(0.1)).T
+    T = np.diag([1.0, np.exp(0.25j * np.pi)])
+
+    psi = np.zeros(8, complex)
+    psi[0] = 1.0
+    psi = psi.reshape(2, 2, 2)
+
+    def ap1(U, q):
+        return np.moveaxis(np.tensordot(U, psi, axes=([1], [q])), 0, q)
+
+    def ap2(U, a, b):
+        return np.moveaxis(np.tensordot(U.reshape(2, 2, 2, 2), psi,
+                                        axes=([2, 3], [a, b])),
+                           [0, 1], [a, b])
+
+    psi = ap1(xpow(0.25), 0); psi = ap1(H, 1); psi = ap1(ypow(0.5), 2)
+    psi = ap2(czpow(0.3), 0, 1); psi = ap1(rx(0.7), 2)
+    psi = ap2(iswap_half, 1, 2); psi = ap1(T, 0)
+    psi = ap1(phx, 0); psi = ap1(ry(0.3), 1); psi = ap1(zpow(0.6), 2)
+    assert np.abs(got - psi.reshape(-1)).max() < 1e-12
 
 
 def test_einsum_eq_convert_parity():
