@@ -146,9 +146,10 @@ def main():
             width = max(1, min(128, w_est))
     while (2 ** k) % width:        # largest dividing power of two
         width //= 2
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bits_sorted),), field,
-        slice_batch=width))
+        slice_batch=width, unroll=unroll))
 
     def once():
         t0 = time.time()

@@ -417,6 +417,35 @@ def test_segmented_slice_batch_and_sharded(sparse_scheme):
     assert np.abs(mono - field.unwrap(sharded)).max() < 1e-12
 
 
+def test_torch_baseline_executor_matches(sparse_scheme):
+    """The torch-CPU baseline harness (scripts/torch_baseline.py — the
+    reference execution model used for vs_baseline) reproduces the oracle
+    amplitudes on the full slice loop."""
+    import importlib.util
+    import os
+
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location(
+        "torch_baseline", os.path.join(os.path.dirname(__file__), "..",
+                                       "scripts", "torch_baseline.py"))
+    tbl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tbl)
+
+    ntn, steps, axes, k, bits_sorted, want = sparse_scheme
+    host = [np.asarray(ntn.tensors[i], dtype=np.complex128)
+            for i in range(len(ntn.tensors))]
+    acc = None
+    for sid in range(2 ** k):
+        sl = tbl.np_slice_select(host, axes, sid, k)
+        bufs = {i: torch.from_numpy(np.ascontiguousarray(t))
+                for i, t in enumerate(sl)}
+        out = tbl.torch_execute_sparse(torch, bufs, steps).numpy()
+        acc = out if acc is None else acc + out
+    amps = acc.reshape(-1)
+    for amp, bs in zip(amps, bits_sorted):
+        assert abs(amp - want[int(bs, 2)]) < 1e-10, bs
+
+
 def test_segmented_width_audit(sparse_scheme):
     """The temp-aware HBM audit clamps an oversized segmented slice-batch
     (the n53 batch-4 OOM class) to a safe power of two — and the clamped
