@@ -93,6 +93,7 @@ def load_kernel():
         ctypes.c_double,                  # roofline bytes/s
         ctypes.c_double,                  # roofline per-step w1 overhead s
         ctypes.c_double,                  # roofline HBM budget bytes
+        ctypes.c_double,                  # roofline full-MXU K (bias knob)
     ]
     _LIB = lib
     return _LIB
@@ -104,7 +105,7 @@ def native_available():
 
 def sa_find_order_native(tn, init_orders, sc_target, iters, betas,
                          slicing_repeat, seed, alpha=32.0, n_threads=None,
-                         objective="score"):
+                         objective="score", k_full=None):
     """Run the native SA over an AbstractTensorNetwork.
 
     ``init_orders``: list (per trial) of pairwise orders over tensor ids.
@@ -158,6 +159,7 @@ def sa_find_order_native(tn, init_orders, sc_target, iters, betas,
         float(_COST.TPU_HBM_BYTES_PER_S),
         float(_COST.STEP_OVERHEAD_W1_S),
         float(_COST.HBM_BUDGET_BYTES),
+        float(k_full if k_full else _COST.MXU_K_FULL),
     )
     assert n_sliced >= 0, "native SA failed"
     order = [(int(out_order[2 * p]), int(out_order[2 * p + 1]))

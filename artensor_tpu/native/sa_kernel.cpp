@@ -75,6 +75,10 @@ struct RoofParams {
     double step_ov = 3e-6;       // floor (wide-vmap amortized)
     double step_ov_w1 = 330e-6;  // fixed per-step cost at vmap width 1
     double hbm_budget = 12e9;    // usable bytes for the slice-vmap batch
+    double k_full = 128.0;       // contraction width at full MXU rate; a
+                                 // LARGER value biases the search toward
+                                 // wide-K trees (flops traded for MXU
+                                 // utilization — the K-portfolio axis)
 };
 
 // the slice-vmap width the plan can afford: HBM / (8 bytes * live set),
@@ -91,7 +95,7 @@ double width_overhead(double mc_log2, int n_steps, const RoofParams& rp) {
 double node_roof(const Node& v, const Node& L, const Node& R,
                  const RoofParams& rp) {
     double k = std::exp2(std::max(0.0, v.tc - v.sc));
-    double rate = rp.muladds_per_s * std::min(1.0, k / 128.0);
+    double rate = rp.muladds_per_s * std::min(1.0, k / rp.k_full);
     double compute = std::exp2(v.tc) / rate;
     double traffic = 8.0 * (std::exp2(L.sc) + std::exp2(R.sc)
                             + std::exp2(v.sc)) / rp.bytes_per_s;
@@ -745,13 +749,15 @@ int sa_find_order(
     double roof_muladds_per_s,
     double roof_bytes_per_s,
     double roof_step_ov_w1_s,
-    double roof_hbm_budget_bytes)
+    double roof_hbm_budget_bytes,
+    double roof_k_full)
 {
     RoofParams rp;
     if (roof_muladds_per_s > 0) rp.muladds_per_s = roof_muladds_per_s;
     if (roof_bytes_per_s > 0) rp.bytes_per_s = roof_bytes_per_s;
     if (roof_step_ov_w1_s > 0) rp.step_ov_w1 = roof_step_ov_w1_s;
     if (roof_hbm_budget_bytes > 0) rp.hbm_budget = roof_hbm_budget_bytes;
+    if (roof_k_full > 0) rp.k_full = roof_k_full;
     if (n_tensors < 2) return -1;
     Network net;
     net.n_tensors = n_tensors;

@@ -175,15 +175,19 @@ def simulate_annealing(tn, sc_target=-1, trials=10, iters=50,
 
 
 def _native_annealing(tn, sc_target, trials, iters, betas, slicing_repeat,
-                      start_seed, alpha, objective="score"):
-    """Run the C++ SA kernel (all trials on native threads)."""
+                      start_seed, alpha, objective="score", k_full=None):
+    """Run the C++ SA kernel (all trials on native threads).
+
+    ``k_full``: contraction width at full MXU rate in the roofline
+    objective; raising it above the hardware's 128 biases the search
+    toward wide-K trees (the flops-for-MXU-utilization portfolio axis)."""
     from ..native import sa_find_order_native
 
     greedy = GreedyOrderFinder(tn)
     init_orders = [greedy("min_dim", start_seed + i)[0] for i in range(trials)]
     order, sliced, stats = sa_find_order_native(
         tn, init_orders, sc_target, iters, list(betas), slicing_repeat,
-        start_seed, alpha=alpha, objective=objective)
+        start_seed, alpha=alpha, objective=objective, k_full=k_full)
     return order, sliced
 
 
@@ -216,14 +220,15 @@ def find_order(tensor_bonds, bond_dims, final_qubits=(), seed=0,
     if use_native and len(tn.tensor_bonds) >= 2:
         na_kwargs = dict(sc_target=-1, trials=10, iters=50,
                          betas=np.linspace(0.1, 10, 100), slicing_repeat=4,
-                         start_seed=0, alpha=32.0, objective="score")
+                         start_seed=0, alpha=32.0, objective="score",
+                         k_full=None)
         na_kwargs.update(sa_kwargs)
         na_kwargs.pop("rank", None)  # trial ranking is a python-path feature
         order, slicing_bonds = _native_annealing(
             clone_network(tn), na_kwargs["sc_target"], na_kwargs["trials"],
             na_kwargs["iters"], na_kwargs["betas"],
             na_kwargs["slicing_repeat"], na_kwargs["start_seed"],
-            na_kwargs["alpha"], na_kwargs["objective"])
+            na_kwargs["alpha"], na_kwargs["objective"], na_kwargs["k_full"])
     else:
         sa_kwargs.pop("objective", None)   # python path: legacy score only
         order, slicing_bonds = simulate_annealing(

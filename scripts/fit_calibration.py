@@ -40,6 +40,10 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "artensor_tpu",
 def main():
     paths = [a for a in sys.argv[1:] if not a.startswith("--")]
     write = "--write" in sys.argv
+    minw = 32
+    for a in sys.argv[1:]:
+        if a.startswith("--minwidth="):
+            minw = int(a.split("=", 1)[1])
     rows, y, tags = [], [], []
     schemes = set()
     for p in paths:
@@ -52,7 +56,8 @@ def main():
                          n_slices * r["xla_s"],
                          n_slices * r["bytes_per_slice"]
                          / TPU_HBM_BYTES_PER_S,
-                         n_slices * r["n_steps"] / pt["width"]])
+                         n_slices * r["n_steps"] / pt["width"],
+                         pt["width"]])
             y.append(pt["wall_s"])
             tags.append((os.path.basename(p), pt["width"]))
     X = np.array(rows)
@@ -61,20 +66,22 @@ def main():
         print(f"need >=4 points across >=2 schemes "
               f"(have {len(y)} points, {len(schemes)} schemes)")
         sys.exit(1)
-    # Each scheme contributes ONE independent intercept (per-slice cost)
-    # plus the shared 1/width slope, so at most (#schemes - 1) + 1 of the
-    # three per-slice factors are identifiable beyond the fixed xla=1:
-    # fit (byte_factor, overhead) by default — the byte term IS the
-    # hypothesized missing cost — and free kern_factor only when a third
-    # scheme pins it.
-    free_kern = len(schemes) >= 3
-    cols = ([0] if free_kern else []) + [2, 3]
-    rhs = y - X[:, 1] - (0 if free_kern else X[:, 0])
-    theta, *_ = np.linalg.lstsq(X[:, cols], rhs, rcond=None)
+    # Physical model: the kernel and XLA step costs are trusted at 1x
+    # (they are built from measured rates), and the two terms the base
+    # model misses are fitted: a size-proportional byte factor (extra
+    # HBM passes proportional to how much data the scheme moves) and the
+    # per-step fixed overhead.  Fit on the OPERATING regime only
+    # (width >= --minwidth, default 32): narrow widths have chunk-launch
+    # effects the linear model cannot carry, and plans never run there
+    # (round-4 fit: byte 0.42, overhead 238us, every w>=32 point within
+    # 15%; freeing kern_factor drove it to an unphysical ~0).
+    sel = X[:, 4] >= minw
+    Xf = X[sel][:, :4]
+    theta, *_ = np.linalg.lstsq(Xf[:, 2:], y[sel] - Xf[:, 0] - Xf[:, 1],
+                                rcond=None)
     theta = np.maximum(theta, 0.0)       # physical: no negative costs
-    full = np.array([theta[0] if free_kern else 1.0, 1.0,
-                     theta[-2], theta[-1]])
-    pred = X @ full
+    full = np.array([1.0, 1.0, theta[0], theta[1]])
+    pred = X[:, :4] @ full
     cal = {"kern_factor": round(float(full[0]), 4),
            "xla_factor": round(float(full[1]), 4),
            "byte_factor": round(float(full[2]), 4),
@@ -86,7 +93,9 @@ def main():
         print(f"  {tag} w{w:<4} wall={yi:6.3f}s fit={pi:6.3f}s "
               f"({pi / yi:5.2f}x)")
     rms = float(np.sqrt(np.mean((pred - y) ** 2)))
-    print(f"rms residual {rms:.3f}s over {len(y)} points")
+    rms_op = float(np.sqrt(np.mean((pred[sel] - y[sel]) ** 2)))
+    print(f"rms residual {rms:.3f}s over {len(y)} points "
+          f"({rms_op:.3f}s over the {int(sel.sum())} fitted w>={minw})")
     if write:
         with open(OUT, "w") as f:
             json.dump(cal, f, indent=1)

@@ -551,7 +551,9 @@ def test_fit_calibration_recovers_planted_factors(tmp_path):
     from artensor_tpu.planner.cost import TPU_HBM_BYTES_PER_S
 
     root = os.path.join(os.path.dirname(__file__), "..")
-    planted = dict(kern=1.3, xla=1.0, byte=0.8, oh=4e-4)
+    # kern/xla are FIXED at 1.0 in the physical fit (round 4): only the
+    # byte factor and per-step overhead are free
+    planted = dict(kern=1.0, xla=1.0, byte=0.8, oh=4e-4)
     recs = [
         {"plan": "a", "k": 8, "kern_s": 3e-3, "xla_s": 4e-4,
          "bytes_per_slice": 1.7e9, "n_steps": 180},
@@ -563,7 +565,7 @@ def test_fit_calibration_recovers_planted_factors(tmp_path):
     paths = []
     for r in recs:
         pts = []
-        for w in (1, 4, 16, 64):
+        for w in (32, 64, 128):
             wall = 2 ** r["k"] * (
                 planted["kern"] * r["kern_s"]
                 + planted["xla"] * r["xla_s"]
