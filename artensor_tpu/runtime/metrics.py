@@ -77,24 +77,49 @@ def scheme_roofline_seconds(steps, muladds_per_s=None, bytes_per_s=None,
     return total
 
 
-def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
-    """Per-slice peak HBM live set of a sparse/dense scheme, INCLUDING the
-    aligned-gather and cross-merge temporaries that the planner-tree mc is
+def slice_dynamic_ids(steps, slicing_axes):
+    """Buffer ids that VARY BY SLICE under the executor's slice vmap:
+    seeded by the tensors slice_select touches, propagated through the
+    scheme (a step's output is dynamic when either operand is)."""
+    dyn = {tid for spec in slicing_axes for (tid, *_rest) in spec}
+    for s in steps:
+        if s.i in dyn or s.j in dyn:
+            dyn.add(s.i)
+    return dyn
+
+
+def _peak_timeline(steps, slicing_axes=None, bytes_per_elem=4.0,
+                   split_components=2):
+    """(timeline, unit): per-program-point (dynamic_elems, static_elems)
+    live+transient sets of a sparse/dense scheme, INCLUDING the
+    aligned-gather and cross-merge temporaries the planner-tree mc is
     blind to (a round-3 portfolio candidate modeled 10 GB peak-mc but
     needed 57 GB once its gather temps materialized — docs/BENCH_NOTES.md).
 
     Tracks buffer sizes step by step: a buffer's initial size is its size
     at first use; a step's transient extra is the gathered operand copies
     plus all chunk outputs (live until the concat), or the pre-post_select
-    output for cross merges."""
+    output for cross merges.
+
+    ``slicing_axes``: when given, operands that are SLICE-INVARIANT
+    (slice_dynamic_ids) land in the static component — a GGK lane's
+    W-side pre-arrangement of a folded gate block exists ONCE for the
+    whole vmap width (round-4 unbatched-W fast path); without it,
+    everything counts as dynamic (conservative)."""
     from .lowering import _prod
+
+    dyn = None if slicing_axes is None else \
+        slice_dynamic_ids(steps, slicing_axes)
+    is_dyn = (lambda tid: True) if dyn is None else (lambda tid: tid in dyn)
 
     unit = bytes_per_elem * split_components
 
     def in_sizes(low):
         return _prod(low.shape_l), _prod(low.shape_r)
 
-    # first-use size of every buffer (live from the start)
+    # first-use size of every buffer (live from the start); a buffer is
+    # width-SHARED when it is slice-invariant (vmap in_axes None: the
+    # staged constant is not replicated per width instance)
     size = {}
     for s in steps:
         lows = [s.lowered] if getattr(s, "lowered", None) is not None \
@@ -113,38 +138,89 @@ def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2):
             swapped = getattr(lows[0], "swapped", False)
             size.setdefault(s.i, b if swapped else a)
             size.setdefault(s.j, a if swapped else b)
-    peak = sum(size.values())
     live = dict(size)
+    # (dynamic_elems, static_elems) live+transient at each program point
+    timeline = [(sum(v for t, v in size.items() if is_dyn(t)),
+                 sum(v for t, v in size.items() if not is_dyn(t)))]
     for s in steps:
         lows = [s.lowered] if getattr(s, "lowered", None) is not None \
             else list(getattr(s, "lowered_chunks", ()) or ())
         if not lows:
             continue
         out = sum(_prod(low.phys_y) for low in lows)
-        extra = 0
+        out_dyn = is_dyn(s.i) or is_dyn(s.j)
+        extra_d = extra_s = 0
         lane = getattr(s, "lane", None)
         if getattr(s, "gathers", None) is not None and lane is None:
             # gathered operand copies of the current chunk + every chunk
             # output held until the final concat (a GGK lane fuses the
-            # gathers: no copies, no chunk outputs)
-            extra = max(_prod(low.shape_l) + _prod(low.shape_r)
-                        for low in lows) + out
+            # gathers: no copies, no chunk outputs); a static operand's
+            # gathered copy is itself static (batch rows, not slice rows)
+            gi = max(_prod(low.shape_l) for low in lows)
+            gj = max(_prod(low.shape_r) for low in lows)
+            swapped = getattr(lows[0], "swapped", False)
+            di, dj = (is_dyn(s.j), is_dyn(s.i)) if swapped \
+                else (is_dyn(s.i), is_dyn(s.j))
+            extra_d += (gi if di else 0) + (gj if dj else 0)
+            extra_s += (0 if di else gi) + (0 if dj else gj)
+            if out_dyn:
+                extra_d += out
+            else:
+                extra_s += out
         elif lane is not None and hasattr(lane, "bj_rows"):
             # GGK lane: the fused kernel removes the gathered-X copies,
             # but the W-side pre-arrangement (one take per component)
             # and, measured on the chip, an XLA relayout copy of the
             # pallas output both materialize (sc22_r2 10k w32 OOM:
-            # 4.8G output + 4.8G copy + 2x2.4G takes on a 15.75G chip)
+            # 4.8G output + 4.8G copy + 2x2.4G takes on a 15.75G chip).
+            # A SLICE-INVARIANT W (folded gate block) is gathered once
+            # for the whole vmap width — width-shared.
             row = lane.row
-            extra = lane.bj_rows * row.H * row.K + out
+            w_id = s.j if row.w_is_j else s.i
+            wk = lane.bj_rows * row.H * row.K
+            if is_dyn(w_id):
+                extra_d += wk
+            else:
+                extra_s += wk
+            extra_d += out        # pallas-output relayout copy
             if getattr(row, "pre_perm", None) is not None:
-                extra += lane.bi_rows * _prod(row.view_x)
+                x_id = s.i if row.w_is_j else s.j
+                if is_dyn(x_id):
+                    extra_d += lane.bi_rows * _prod(row.view_x)
+                else:
+                    extra_s += lane.bi_rows * _prod(row.view_x)
         elif getattr(s, "post_select", None) is not None:
-            extra = out      # pre-selection output + selected copy
-        peak = max(peak, sum(live.values()) + out + extra)
+            if out_dyn:           # pre-selection output + selected copy
+                extra_d += out
+            else:
+                extra_s += out
+        ld = sum(v for t, v in live.items() if is_dyn(t))
+        ls = sum(v for t, v in live.items() if not is_dyn(t))
+        timeline.append((ld + (out if out_dyn else 0) + extra_d,
+                         ls + (0 if out_dyn else out) + extra_s))
         live[s.i] = out
         live[s.j] = 0
-    return peak * unit
+    return timeline, unit
+
+
+def scheme_peak_live_bytes(steps, bytes_per_elem=4.0, split_components=2,
+                           slicing_axes=None):
+    """Per-slice peak HBM live set (see _peak_timeline)."""
+    timeline, unit = _peak_timeline(steps, slicing_axes, bytes_per_elem,
+                                    split_components)
+    return max(d + st for d, st in timeline) * unit
+
+
+def scheme_peak_bytes_at_width(steps, width, slicing_axes,
+                               bytes_per_elem=4.0, split_components=2):
+    """TOTAL peak HBM bytes when ``width`` slices run vmapped: dynamic
+    (slice-varying) live sets replicate per width instance, slice-
+    invariant buffers are shared.  Exact per-timeline-point, so tighter
+    than width * per-slice peak (which overcharged the sc22_r2 w128
+    config by ~25% and forced the hard-coded width table, VERDICT r3)."""
+    timeline, unit = _peak_timeline(steps, slicing_axes, bytes_per_elem,
+                                    split_components)
+    return max(width * d + st for d, st in timeline) * unit
 
 
 # Measured round 3 (trace profile, docs/BENCH_NOTES.md): XLA fallback
@@ -257,7 +333,7 @@ def scheme_wall_components(steps):
 
 def scheme_wall_estimate(steps, k_sliced,
                          xla_traffic_factor=XLA_RELAYOUT_FACTOR,
-                         hbm_budget_bytes=None):
+                         hbm_budget_bytes=None, slicing_axes=None):
     """Calibrated end-to-end wall-clock estimate for ranking plan
     portfolios: per-slice step costs (kernel est_s where planned; XLA
     fallback traffic inflated by the measured relayout factor) plus the
@@ -276,16 +352,19 @@ def scheme_wall_estimate(steps, k_sliced,
     per_slice = (cal["kern_factor"] * kern_s + cal["xla_factor"] * xla_s
                  + cal["byte_factor"] * bytes_ps / TPU_HBM_BYTES_PER_S)
     overhead_w1 = cal["step_overhead_w1_s"] or STEP_OVERHEAD_W1_S
-    peak = scheme_peak_live_bytes(steps)
-    width = max(1, min(256, int(budget // max(peak, 1))))
-    width = 1 << (width.bit_length() - 1)           # power of two
+    peak = scheme_peak_live_bytes(steps, slicing_axes=slicing_axes)
     n_slices = 2 ** k_sliced
-    width = min(width, n_slices)
+    width = 1
+    while (width < min(256, n_slices)
+           and scheme_peak_bytes_at_width(steps, width * 2, slicing_axes)
+           <= budget):
+        width *= 2
     total = n_slices * (per_slice + n_steps * overhead_w1 / width)
     return total, width, peak
 
 
-def max_safe_slice_batch(steps, requested, hbm_budget_bytes=None):
+def max_safe_slice_batch(steps, requested, hbm_budget_bytes=None,
+                         slicing_axes=None):
     """Largest power-of-two slice-vmap width <= ``requested`` whose
     TEMP-AWARE peak live set (scheme_peak_live_bytes — gather copies, GGK
     pre-arrangements, chunk outputs included) fits the HBM budget.
@@ -297,9 +376,11 @@ def max_safe_slice_batch(steps, requested, hbm_budget_bytes=None):
     from ..planner.cost import HBM_BUDGET_BYTES
 
     budget = hbm_budget_bytes or HBM_BUDGET_BYTES
-    peak = scheme_peak_live_bytes(steps)
-    w = max(1, int(budget // max(peak, 1.0)))
-    w = 1 << (w.bit_length() - 1)               # power of two
+    w = 1
+    while (w < requested
+           and scheme_peak_bytes_at_width(steps, w * 2, slicing_axes)
+           <= budget):
+        w *= 2
     return max(1, min(requested, w))
 
 

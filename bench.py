@@ -3,21 +3,29 @@
 Workload (BASELINE.json north star): 1,000 bitstring amplitudes of the
 n30 m14 EFGH random circuit in ONE sparse-state contraction, validated
 against Google's Schrodinger-Feynman ground-truth file.  The contraction
-plan (native-SA-optimized, 8 sliced bonds -> 256 slices, executed 128
-vmapped slices per scan step) is picked per workload — sc22_r2 at 1k,
-sc22 at 10k, both chip-measured — so the bench measures compile+execute,
-not planning.  Knobs: BENCH_PLAN (plan path), BENCH_WIDTH (slice-vmap
-width; default from the measured table, else the estimator), BENCH_NBITS
-(amplitude count; 10000 = the north-star config), BENCH_KERNEL_CAP
-(Pallas step cap).
+plan (native-SA-optimized, 8 sliced bonds -> 256 slices, slice-vmapped
+per scan step) is picked per workload — sc22_r2 at 1k, sc22 at 10k,
+both chip-measured — so the bench measures compile+execute, not
+planning.  The slice-vmap width comes from the LIBRARY's calibrated
+estimator (temp-aware at-width HBM peak; round 3's hard-coded width
+table is gone).  Knobs: BENCH_PLAN (plan path), BENCH_WIDTH (explicit
+width override), BENCH_NBITS (amplitude count; 10000 = the north-star
+config), BENCH_KERNEL_CAP (Pallas step cap), BENCH_UNROLL (scan
+unroll).
 
-Baseline for vs_baseline: the reference implementation (Fanerst/artensor,
-torch) executing the SAME plan/scheme on the CPU available here (no CUDA
-device in this environment; torch CPU with all cores): measured 4.63 s per
-slice x 64 slices = 296 s total (see docs/BENCH_NOTES.md).  vs_baseline =
-baseline_wall / our_wall (higher is better).
+``python bench.py --suite`` machine-captures the other BASELINE.md
+configs too (VERDICT r3 item 6): one JSON line per config — sparse 1k,
+sparse 10k (north star), and the dense 2^30 output-block walk.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines for vs_baseline: the reference implementation's execution
+model (one torch.einsum per scheme step) on the SAME plan/scheme on the
+CPU available here (no CUDA device in this environment), measured by
+scripts/torch_baseline.py — see docs/BENCH_NOTES.md for methodology and
+the recorded per-config numbers.  vs_baseline = baseline_wall /
+our_wall (higher is better).
+
+Prints ONE JSON line per config: {"metric", "value", "unit",
+"vs_baseline"}.
 """
 
 import json
@@ -29,26 +37,31 @@ import numpy as np
 
 REF_CIRCUIT = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
 REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
-TORCH_CPU_BASELINE_S = 296.3  # measured; see module docstring
+
+# torch-CPU baselines, measured on THIS box by scripts/torch_baseline.py
+# (reference execution model on the same plan/scheme; round-4 session,
+# docs/BENCH_NOTES.md "Round 4: re-anchored torch baselines").  The
+# round-1 figure (296.3 s, sc24 plan) overstated our advantage once the
+# same plan the bench runs was measured directly.
+TORCH_BASELINES_S = {
+    "n30m14_sparse1k_wall_s": 125.5,     # 0.49 s/slice x 256 (sc22_r2)
+    "n30m14_sparse10k_wall_s": None,     # filled once measured
+    "dense2e30_s_per_block": None,
+}
+# conservative fallback when a config has no direct measurement yet:
+# the round-1 sc24-plan figure, scaled per-slice (see BENCH_NOTES)
+TORCH_FALLBACK_1K_S = 296.3
+
 N_BITSTRINGS = int(os.environ.get("BENCH_NBITS", "1000"))
 REPEATS = 3
 
 # Default plan per workload: the GGK-heavy sc22_r2 tree wins at 1k
-# amplitudes (0.89 s) but its gathered-step traffic scales with the batch
-# (roofline 2.57 s at 10k), where the sc22 tree's batch-lean steps win
-# (1.00 s) — both chip-measured, docs/BENCH_NOTES.md round 3.
-_DEFAULT_PLAN = ("plans/n30_m14_sparse_sc22_r2.json" if N_BITSTRINGS <= 2000
-                 else "plans/n30_m14_sparse_sc22.json")
-PLAN = os.environ.get("BENCH_PLAN", _DEFAULT_PLAN)
-
-# Measured-known-good slice-vmap widths for the default configs.  The
-# library's temp-aware width estimator is deliberately conservative (it
-# charges worst-case coexistence of gather temps); these ran on the chip.
-_KNOWN_WIDTHS = {
-    ("n30_m14_sparse_sc22_r2.json", 1000): 128,
-    ("n30_m14_sparse_sc22.json", 10000): 128,
-    ("n30_m14_sparse_sc22.json", 1000): 128,
-}
+# amplitudes but its gathered-step traffic scales with the batch, where
+# the sc22 tree's batch-lean steps win — both chip-measured,
+# docs/BENCH_NOTES.md rounds 3-4.
+def _default_plan(n_bits):
+    return ("plans/n30_m14_sparse_sc22_r2.json" if n_bits <= 2000
+            else "plans/n30_m14_sparse_sc22.json")
 
 
 def _fallback_bench():
@@ -67,55 +80,51 @@ def _fallback_bench():
                       "unit": "s", "vs_baseline": 1.0}))
 
 
-def main():
-    import os
+def _load_n30():
+    from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
+    from artensor_tpu.network import NumericalTensorNetwork
 
-    if not (os.path.exists(REF_CIRCUIT) and os.path.exists(PLAN)):
-        _fallback_bench()
-        return
+    n, layers = load_cirq_circuit(REF_CIRCUIT)
+    circ = TensorNetworkCircuit((n, layers))
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    return NumericalTensorNetwork(tensors, tb, bd, fq)
+
+
+def bench_sparse(n_bits, plan=None, repeats=REPEATS):
+    """One sparse big-batch config; returns the record dict (or exits on a
+    correctness failure)."""
+    import re
 
     import jax
 
-    # persistent compilation cache: later runs in the same repo skip the
-    # (1-10 min) XLA compile when the program is unchanged
-    from artensor_tpu.cache import enable_compile_cache
-    enable_compile_cache(os.path.abspath(".jax_cache"))
-
     from artensor_tpu import plan_io
-    from artensor_tpu.circuits import TensorNetworkCircuit, load_cirq_circuit
-    from artensor_tpu.network import NumericalTensorNetwork
     from artensor_tpu.ops.field import make_field
     from artensor_tpu.runtime.executor import (
         build_slicing_axes,
         make_sliced_runner,
+        precompute_static_steps,
         stage_tensors,
     )
-    from artensor_tpu.runtime.sparse import (
-        contraction_scheme_sparse,
-        execute_sparse,
-    )
+    from artensor_tpu.runtime.scheme_cache import cached_scheme_sparse
+    from artensor_tpu.runtime.sparse import execute_sparse
 
+    plan = plan or os.environ.get("BENCH_PLAN") or _default_plan(n_bits)
     gt = {}
     with open(REF_AMPLITUDES) as f:
         for line in f:
             p = line.split()
             if len(p) == 3:
                 gt[p[0]] = float(p[1]) + 1j * float(p[2])
-    bitstrings = list(gt.keys())[:N_BITSTRINGS]
+    bitstrings = list(gt.keys())[:n_bits]
 
-    n, layers = load_cirq_circuit(REF_CIRCUIT)
-    circ = TensorNetworkCircuit((n, layers))
-    tensors, tb, bd, fq = circ.to_numerical_tn()
-    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    ntn = _load_n30()
     tb2, fq2 = ntn.simplify("sparse")
 
-    import re
-    order, sliced, ctree = plan_io.load_plan(PLAN)
-    m = re.search(r"sc(\d+)", PLAN)
+    order, sliced, ctree = plan_io.load_plan(plan)
+    m = re.search(r"sc(\d+)", plan)
     sc_t = float(m.group(1)) if m else 22.0
-    from artensor_tpu.runtime.scheme_cache import cached_scheme_sparse
     steps, out_bonds, bits_sorted = cached_scheme_sparse(
-        PLAN, ctree, bitstrings, sc_target=sc_t)
+        plan, ctree, bitstrings, sc_target=sc_t)
     cap = os.environ.get("BENCH_KERNEL_CAP")
     if cap is not None:
         from artensor_tpu.runtime.lanes import prune_lane_plans
@@ -128,7 +137,6 @@ def main():
     else:
         field = make_field(np.complex64, prec, "split")
     axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2)
-    from artensor_tpu.runtime.executor import precompute_static_steps
     steps, host_arrays = precompute_static_steps(
         steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
     staged = stage_tensors(field, host_arrays)
@@ -137,13 +145,12 @@ def main():
     if width_env is not None:
         width = int(width_env)     # explicit override: trust the caller
     else:
-        width = _KNOWN_WIDTHS.get((os.path.basename(PLAN), N_BITSTRINGS))
-        if width is None:
-            # unmeasured config: respect the temp-aware peak live set the
-            # (conservative) wall estimator computes
-            from artensor_tpu.runtime.metrics import scheme_wall_estimate
-            _, w_est, _ = scheme_wall_estimate(steps, k)
-            width = max(1, min(128, w_est))
+        # the library's automatic choice: calibrated wall estimate +
+        # exact at-width HBM peak (dynamic live sets replicate per
+        # instance, slice-invariant buffers are shared)
+        from artensor_tpu.runtime.metrics import scheme_wall_estimate
+        _, w_est, _ = scheme_wall_estimate(steps, k, slicing_axes=axes)
+        width = max(1, min(128, w_est))
     while (2 ** k) % width:        # largest dividing power of two
         width //= 2
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
@@ -159,7 +166,7 @@ def main():
 
     compile_s, amps = once()
     walls = []
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         w, amps = once()
         walls.append(w)
     wall = float(np.median(walls))
@@ -168,28 +175,119 @@ def main():
     rel = np.array([abs(a - gt[b]) / abs(gt[b])
                     for a, b in zip(amps, bits_sorted)])
     ok = float((rel <= 0.05).mean())
-    metric = f"n30m14_sparse{N_BITSTRINGS // 1000}k_wall_s"
+    metric = f"n30m14_sparse{n_bits // 1000}k_wall_s"
     if ok < 1.0:
         print(json.dumps({"metric": metric, "value": -1.0,
                           "unit": "s", "vs_baseline": 0.0,
                           "error": f"correctness {ok:.4f} < 1.0"}))
         sys.exit(1)
 
-    print(json.dumps({
+    base = TORCH_BASELINES_S.get(metric) or TORCH_FALLBACK_1K_S
+    rec = {
         "metric": metric,
         "value": round(wall, 2),
         "unit": "s",
-        "vs_baseline": round(TORCH_CPU_BASELINE_S / wall, 2),
-    }))
+        "vs_baseline": round(base / wall, 2),
+    }
+    print(json.dumps(rec))
     from artensor_tpu.runtime import metrics as mt
     flops = (2 ** k) * mt.scheme_flops(steps, "naive")
     roofline = (2 ** k) * mt.scheme_roofline_seconds(steps)
-    print(f"# compile+first-run {compile_s:.1f}s; correctness 100% <=5% rel err; "
+    print(f"# width {width} (auto); compile+first-run {compile_s:.1f}s; "
+          f"correctness 100% <=5% rel err; "
           f"max rel {rel.max():.2e}; mean rel {rel.mean():.2e}", file=sys.stderr)
     print(f"# sustained {flops / wall / 1e12:.2f} TFLOP/s-real "
           f"({flops / wall / 27e12 * 100:.1f}% of measured f32 matmul peak); "
           f"roofline lower bound {roofline:.2f}s -> {roofline / wall * 100:.0f}% "
           f"of roofline achieved", file=sys.stderr)
+    return rec
+
+
+def bench_dense_blocks(n_blocks=3):
+    """Dense 2^30 state via output-block sharding: steady s/block over the
+    first ``n_blocks`` 2^24 blocks (BASELINE config 2), norm-checked on
+    device."""
+    import jax
+    import jax.numpy as jnp
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.runtime import scheme as sch
+    from artensor_tpu.runtime.executor import (
+        build_slicing_axes, execute_dense, make_sliced_runner,
+        precompute_static_steps, stage_tensors)
+    from artensor_tpu.simulation import _bond_sort_key, get_bond_tensors
+
+    ntn = _load_n30()
+    tb2, fq2 = ntn.simplify("normal")
+    order, sliced, ctree = plan_io.load_plan(
+        "plans/n30_m14_dense_blocks64_sc26.json")
+    steps, out_bonds = sch.contraction_scheme(ctree)
+    bt = get_bond_tensors(tb2)
+    open_bonds = sorted((b for b, ts in bt.items() if len(ts) == 1),
+                        key=_bond_sort_key)
+    chosen = open_bonds[:6]
+    axes = build_slicing_axes(tb2, chosen + sliced, bond_dims=ntn.bond_dims)
+    k = 6 + len(sliced)
+    field = make_field(np.complex64, "highest", "split")
+    steps, host_arrays = precompute_static_steps(
+        steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
+    staged = jax.device_put(stage_tensors(field, host_arrays))
+    run = jax.jit(make_sliced_runner(
+        execute_dense, steps, axes, k, (2,) * len(out_bonds), field))
+
+    # norm reduced ON DEVICE: pulling a 2^24 block through the tunnel
+    # measures the tunnel, not the chip
+    @jax.jit
+    def block_norm(ids):
+        r = run(staged, ids)
+        return ((r[0].astype(jnp.float64) ** 2).sum()
+                + (r[1].astype(jnp.float64) ** 2).sum())
+
+    norm = 0.0
+    times = []
+    t0 = time.time()
+    for blk in range(n_blocks):
+        norm += float(block_norm(jnp.asarray([blk], dtype=jnp.int32)))
+        t1 = time.time()
+        times.append(t1 - t0)
+        t0 = t1
+    steady = float(np.median(times[1:])) if len(times) > 1 else times[0]
+    # correctness: blocks of a random-circuit state carry ~uniform norm
+    expect = n_blocks / 64
+    if not (0.5 * expect < norm < 2.0 * expect):
+        print(json.dumps({"metric": "dense2e30_s_per_block", "value": -1.0,
+                          "unit": "s", "vs_baseline": 0.0,
+                          "error": f"norm {norm:.4f} vs ~{expect:.4f}"}))
+        sys.exit(1)
+    base = TORCH_BASELINES_S.get("dense2e30_s_per_block")
+    rec = {"metric": "dense2e30_s_per_block", "value": round(steady, 3),
+           "unit": "s",
+           "vs_baseline": round(base / steady, 2) if base else 0.0}
+    print(json.dumps(rec))
+    print(f"# first block (incl. compile) {times[0]:.1f}s; "
+          f"full 2^30 state ~{steady * 64:.1f}s execution; "
+          f"norm of {n_blocks}/64 blocks = {norm:.4f}", file=sys.stderr)
+    return rec
+
+
+def main():
+    if not (os.path.exists(REF_CIRCUIT)
+            and os.path.exists(_default_plan(N_BITSTRINGS))):
+        _fallback_bench()
+        return
+
+    # persistent compilation cache: later runs in the same repo skip the
+    # (1-10 min) XLA compile when the program is unchanged
+    from artensor_tpu.cache import enable_compile_cache
+    enable_compile_cache(os.path.abspath(".jax_cache"))
+
+    if "--suite" in sys.argv:
+        bench_sparse(1000)
+        bench_sparse(10000)
+        bench_dense_blocks()
+        return
+    bench_sparse(N_BITSTRINGS)
 
 
 if __name__ == "__main__":

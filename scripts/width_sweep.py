@@ -70,7 +70,7 @@ def main():
     from artensor_tpu.runtime.executor import precompute_static_steps
     steps, host_arrays = precompute_static_steps(
         steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
-    est, w_est, peak = mt.scheme_wall_estimate(steps, k)
+    est, w_est, peak = mt.scheme_wall_estimate(steps, k, slicing_axes=axes)
     print(f"plan={plan} k={k} est={est:.3f}s@w{w_est} "
           f"steps={len(steps)} peak={peak / 1e9:.2f}GB/slice")
     if not widths:
