@@ -24,7 +24,8 @@ from .planner import (
     find_order,
     simulate_annealing,
 )
-from .utils import einsum_eq_convert, log2sumexp2, log10sumexp2
+from .utils import (einsum_eq_convert, log2sumexp2, log10sumexp2,
+                    tensordot2einsum)
 
 __version__ = "0.2.0"
 
@@ -36,6 +37,7 @@ __all__ = [
     "find_order",
     "simulate_annealing",
     "einsum_eq_convert",
+    "tensordot2einsum",
     "log2sumexp2",
     "log10sumexp2",
 ]

@@ -65,3 +65,31 @@ def einsum_eq_convert(ixs, iy):
     m = {b: _ASCII_LETTERS[k] for b, k in labels.items()}
     return ",".join("".join(m[b] for b in ix) for ix in ixs) + \
         "->" + "".join(m[b] for b in iy)
+
+
+def tensordot2einsum(len_i, len_j, idxi_j, idxj_i, permute=None):
+    """Letter einsum equation for a tensordot of ranks ``len_i``/``len_j``
+    contracting axes ``idxi_j`` (of i) against ``idxj_i`` (of j), with an
+    optional output permutation (reference-parity helper,
+    /root/reference/artensor/contraction.py:79-107).  The framework's own
+    lowering (runtime/lowering.py) subsumes this; it exists for users
+    porting reference code."""
+    n_c = len(idxi_j) if idxi_j and idxj_i else 0
+    if permute:
+        assert len(permute) == len_i + len_j - 2 * n_c
+    if len_i + len_j - n_c > len(_ASCII_LETTERS):
+        raise ValueError("too many axes for the 52-letter einsum alphabet")
+    eq_i = [_ASCII_LETTERS[a] for a in range(len_i)]
+    out = [eq_i[a] for a in range(len_i) if a not in set(idxi_j or ())]
+    eq_j = [""] * len_j
+    for a, b in zip(idxi_j or (), idxj_i or ()):
+        eq_j[b] = eq_i[a]
+    count = len_i
+    for b in range(len_j):
+        if not eq_j[b]:
+            eq_j[b] = _ASCII_LETTERS[count]
+            out.append(_ASCII_LETTERS[count])
+            count += 1
+    if permute:
+        out = [out[p] for p in permute]
+    return "".join(eq_i) + "," + "".join(eq_j) + "->" + "".join(out)

@@ -45,8 +45,8 @@ REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.
 # same plan the bench runs was measured directly.
 TORCH_BASELINES_S = {
     "n30m14_sparse1k_wall_s": 125.5,     # 0.49 s/slice x 256 (sc22_r2)
-    "n30m14_sparse10k_wall_s": None,     # filled once measured
-    "dense2e30_s_per_block": None,
+    "n30m14_sparse10k_wall_s": 277.7,    # 1.08 s/slice x 256 (sc22)
+    "dense2e30_s_per_block": 5.51,       # same blocks64 plan, per block
 }
 # conservative fallback when a config has no direct measurement yet:
 # the round-1 sc24-plan figure, scaled per-slice (see BENCH_NOTES)

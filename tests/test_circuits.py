@@ -254,6 +254,29 @@ def test_einsum_eq_convert_parity():
         einsum_eq_convert([[f"b{k}" for k in range(60)]], [])
 
 
+def test_tensordot2einsum_parity():
+    """The equation reproduces np.tensordot (+permute) for several axis
+    patterns, incl. the outer product (reference contraction.py:79-107)."""
+    from artensor_tpu import tensordot2einsum
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (3, 4, (0, 2), (3, 1), None),
+        (2, 2, (1,), (0,), (1, 0)),
+        (2, 3, (), (), None),                # outer product
+        (4, 2, (3,), (1,), (2, 0, 1, 3)),
+    ]
+    for li, lj, ii, jj, perm in cases:
+        a = rng.standard_normal((2,) * li)
+        b = rng.standard_normal((2,) * lj)
+        eq = tensordot2einsum(li, lj, list(ii), list(jj), perm and list(perm))
+        got = np.einsum(eq, a, b)
+        want = np.tensordot(a, b, axes=(list(ii), list(jj)))
+        if perm:
+            want = want.transpose(perm)
+        assert np.allclose(got, want), (eq, li, lj, ii, jj, perm)
+
+
 def test_to_einsum_string_matches_sublists():
     c = TensorNetworkCircuit(SMALL)
     arrays, eq = c.to_einsum(as_string=True)
