@@ -100,49 +100,69 @@ def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
     peak live set allows (metrics.max_safe_slice_batch) — the same HBM
     audit the monolithic path applies; pass False to force the width.
     """
+    import logging
+
     from .executor import slice_select
 
+    log = logging.getLogger(__name__)
     total = 2 ** num_sliced if num_sliced else 1
     ids = list(range(total)) if slice_ids is None else list(slice_ids)
     if audit_width and slice_batch > 1:
         from .metrics import max_safe_slice_batch
-        safe = max_safe_slice_batch(steps, slice_batch)
+        safe = max_safe_slice_batch(steps, slice_batch,
+                                    slicing_axes=slicing_axes)
         if safe < slice_batch:
-            import logging
-            logging.getLogger(__name__).warning(
+            log.warning(
                 "segmented slice_batch %d exceeds the temp-aware HBM "
                 "audit; clamping to %d", slice_batch, safe)
             slice_batch = safe
-    W = slice_batch if slice_batch > 1 and len(ids) % slice_batch == 0 else 1
-    run_once, _ = make_segmented_executor(steps, apply_step, field,
-                                          segment_steps, vmapped=W > 1)
 
-    if W == 1:
-        select = jax.jit(lambda ts, sid: slice_select(
-            ts, slicing_axes, sid, num_sliced, field))
-    else:
-        select = jax.jit(lambda ts, sids: jax.vmap(
-            lambda s: slice_select(ts, slicing_axes, s, num_sliced, field)
-        )(sids))
-    add = jax.jit(field.add)
-    acc = None
-    for kx in range(0, len(ids), W):
-        if not num_sliced:
-            sliced = list(tensors)
-        elif W == 1:
-            sliced = select(list(tensors), np.int32(ids[kx]))
+    def attempt(W):
+        run_once, _ = make_segmented_executor(steps, apply_step, field,
+                                              segment_steps, vmapped=W > 1)
+        if W == 1:
+            select = jax.jit(lambda ts, sid: slice_select(
+                ts, slicing_axes, sid, num_sliced, field))
         else:
-            sliced = select(list(tensors),
-                            np.asarray(ids[kx:kx + W], dtype=np.int32))
-        result = run_once({i: t for i, t in enumerate(sliced)})
-        if W > 1:
-            result = jax.jit(field.sum0)(result) if hasattr(field, "sum0") \
-                else jax.jit(lambda r: jax.tree.map(
-                    lambda p: p.sum(0), r))(result)
-        acc = result if acc is None else add(acc, result)
-        if progress is not None:
-            progress(kx + W, len(ids))
-    return acc
+            select = jax.jit(lambda ts, sids: jax.vmap(
+                lambda s: slice_select(ts, slicing_axes, s, num_sliced,
+                                       field))(sids))
+        add = jax.jit(field.add)
+        acc = None
+        for kx in range(0, len(ids), W):
+            if not num_sliced:
+                sliced = list(tensors)
+            elif W == 1:
+                sliced = select(list(tensors), np.int32(ids[kx]))
+            else:
+                sliced = select(list(tensors),
+                                np.asarray(ids[kx:kx + W], dtype=np.int32))
+            result = run_once({i: t for i, t in enumerate(sliced)})
+            if W > 1:
+                result = jax.jit(field.sum0)(result) \
+                    if hasattr(field, "sum0") \
+                    else jax.jit(lambda r: jax.tree.map(
+                        lambda p: p.sum(0), r))(result)
+            acc = result if acc is None else add(acc, result)
+            if progress is not None:
+                progress(kx + W, len(ids))
+        return acc
+
+    W = slice_batch if slice_batch > 1 and len(ids) % slice_batch == 0 else 1
+    while True:
+        try:
+            return attempt(W)
+        except Exception as e:  # noqa: BLE001 — XLA OOM surfaces vary
+            msg = str(e).lower()
+            oom = "memory" in msg or "hbm" in msg or "resource" in msg
+            if not (audit_width and oom and W > 1):
+                raise
+            # the audit's liveness model missed this scheme's real peak
+            # (fusion temps / failed donations); halve and restart — the
+            # OOM is a first-batch compile failure, nothing accumulated
+            W //= 2
+            log.warning("segmented slice batch OOM'd on device; "
+                        "retrying with slice_batch=%d", W)
 
 
 def run_segmented_sharded(tensors, steps, slicing_axes, num_sliced,

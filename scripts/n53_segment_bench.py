@@ -66,23 +66,31 @@ def main():
         steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
     print(f"# folded to {len(steps)} device steps", flush=True)
     staged = jax.device_put(stage_tensors(field, host_arrays))
-    marks = [time.time()]
+    marks = [(0, time.time())]
 
     def progress(done, total):
-        marks.append(time.time())
-        print(f"  {done}/{total} slices at {marks[-1] - marks[-2]:.1f}s "
+        prev_d, prev_t = marks[-1]
+        now = time.time()
+        marks.append((done, now))
+        print(f"  {done}/{total} slices at {now - prev_t:.1f}s "
               f"for the last batch", flush=True)
 
+    seg = int(os.environ.get("N53_SEG", "64"))
     acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
-                        apply_sparse_step, segment_steps=64,
+                        apply_sparse_step, segment_steps=seg,
                         slice_batch=width,
                         slice_ids=range(n_slices), progress=progress)
     amps = field.unwrap(acc)
-    # steady state = batches after the first (which pays all compiles)
+    # steady state = batches after the first (which pays all compiles);
+    # rates from the progress marks, so the library's audit/OOM-retry
+    # halving the EFFECTIVE width is accounted for
     if len(marks) > 2:
-        per_batch = float(np.median(np.diff(marks[1:])))
-        print(f"steady {per_batch:.2f}s per {width}-slice batch -> "
-              f"{per_batch / width * 1e3:.0f} ms/slice "
+        d = np.diff([m[0] for m in marks[1:]])
+        t = np.diff([m[1] for m in marks[1:]])
+        per_slice = float(np.median(t / d))
+        eff_w = int(d[0])
+        print(f"steady {per_slice * eff_w:.2f}s per {eff_w}-slice batch -> "
+              f"{per_slice * 1e3:.0f} ms/slice "
               f"(round 2: 903 ms/slice at width 1)")
     assert np.isfinite(amps).all()
 
