@@ -171,11 +171,19 @@ class TensorNetworkSimulation:
             self.bitstrings_sorted = None
         else:
             from .runtime.sparse import contraction_scheme_sparse
+            # pod-scale schemes execute SEGMENTED (small per-segment
+            # programs), where the monolithic 400+-step compile-crash
+            # class does not apply — raise the kernel-scheduling cutoff
+            # there.  Chip A/B (n53 sc24, forced end-to-end): kernels
+            # 2.5 s/slice vs 25.8 s/slice without — 10x.
+            n_order = len(self.ctree.to_order_dfs())
+            lane_max = 10_000 if n_order > SEGMENT_AUTO_THRESHOLD else None
             self.steps, self.output_bonds, self.bitstrings_sorted = \
                 contraction_scheme_sparse(
                     self.ctree, self.bitstrings,
                     sc_target=self.config.sc_target,
-                    lane_schedule=lane_schedule)
+                    lane_schedule=lane_schedule,
+                    lane_max_steps=lane_max)
         batched = self.final_qubits if self.pattern == "sparse" else ()
         self.slicing_axes = ex.build_slicing_axes(
             self.tensor_bonds, self.slicing_bonds, batched_tensors=batched)
@@ -277,7 +285,8 @@ class TensorNetworkSimulation:
                 from .runtime.segmented import run_segmented
                 result = run_segmented(
                     arrays, run_steps, self.slicing_axes, k, out_shape,
-                    field, apply_step)
+                    field, apply_step,
+                    slice_batch=slice_batch if slice_batch > 1 else 1)
             else:
                 run = jax.jit(ex.make_sliced_runner(
                     execute, run_steps, self.slicing_axes, k, out_shape,
