@@ -778,7 +778,29 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
     pre_elems = 0
     if isinstance(row, RGRow) and row.pre_perm is not None:
         pre_elems = 2 * 2 * (bi_rows if big_is_i else bj_rows) * xrow
-    traffic_s = unit * (B * (xrow + wrow + yrow) + pre_elems
+    # DMA elision: Mosaic re-fetches a block window only when its index
+    # map CHANGES between consecutive programs, so adjacent-equal gather
+    # rows (the compiler lexsorts targets for this, runtime/sparse.py)
+    # are fetched once.  The W window ignores the inner row grid (its
+    # index is row-constant), so W always pays one fetch per RUN of equal
+    # gj; the X window additionally needs one-program-per-row (the
+    # reduction form, or a single-block GK row) to elide across rows.
+    gx_ = np.asarray(gi if big_is_i else gj)
+    gw_ = np.asarray(gj if big_is_i else gi)
+    runs_x = 1 + int((gx_[1:] != gx_[:-1]).sum()) if B > 1 else B
+    runs_w = 1 + int((gw_[1:] != gw_[:-1]).sum()) if B > 1 else B
+    if isinstance(row, RGRow):
+        n_inner = 1
+    else:
+        bf_ = row.block // row.fm
+        F_units_ = next(row.view_x[k] for k, a in enumerate(row.x_axes)
+                        if a == ("f", 0))
+        n_inner = (F_units_ // bf_) * max(1, _prod(
+            row.view_x[k] for k, a in enumerate(row.x_axes)
+            if a[0] == "g"))
+    fetch_x = runs_x if n_inner == 1 else B
+    traffic_s = unit * (fetch_x * xrow + runs_w * wrow + B * yrow
+                        + pre_elems
                         + 3 * (bj_rows if big_is_i else bi_rows) * wrow) \
         / HBM_BYTES_PER_S
     est_s = max(traffic_s, B * row.est_s) \

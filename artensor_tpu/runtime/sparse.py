@@ -494,11 +494,45 @@ def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
                     part_j = _bits_to_ints(sub[:, loc_j])
                     gi = _lookup_positions(rep_i, part_i)
                     gj = _lookup_positions(rep_j, part_j)
-                    # sort targets by the larger operand's gather index
-                    # for memory-friendly (near-sequential) gathers on
-                    # that side
-                    major = gi if len(rep_i) >= len(rep_j) else gj
-                    sort_idx = np.argsort(major, kind="stable")
+                    # target ROW ORDER is free (downstream metadata
+                    # matches by rep VALUE, never position): lexsort the
+                    # targets so one side's gather index repeats
+                    # ADJACENTLY.  On the GGK kernel path an unchanged
+                    # block index between consecutive programs skips the
+                    # DMA entirely, so the side worth grouping is the one
+                    # with the larger avoidable traffic,
+                    # row_elems x (B - distinct rows).  The big-row (X)
+                    # side only elides in the one-program-per-row
+                    # reduction form (tiny surviving frees, K >= 128) —
+                    # gate its savings on that proxy; the small (W)
+                    # side's window is row-constant within a row and
+                    # elides in every form.  The n30 junction steps read
+                    # 16k-element rows ~40x each under the old
+                    # more-reps-side sort (docs/BENCH_NOTES.md round 4).
+                    row_i = _prod_dims(dim_of, bond_i)
+                    row_j = _prod_dims(dim_of, bond_j)
+                    nset = set(new_bonds)
+                    K_c = _prod_dims(dim_of, contracted)
+
+                    def _save(g, row_elems, is_big, F_s):
+                        if is_big and not (F_s <= 32 and K_c >= 128):
+                            return 0
+                        return row_elems * (len(g) - len(np.unique(g)))
+
+                    F_i = _prod_dims(dim_of,
+                                     [b for b in bond_i if b in nset])
+                    F_j = _prod_dims(dim_of,
+                                     [b for b in bond_j if b in nset])
+                    save_i = _save(gi, row_i, row_i >= row_j, F_i)
+                    save_j = _save(gj, row_j, row_j > row_i, F_j)
+                    if save_i or save_j:
+                        sort_idx = np.lexsort((gj, gi)) \
+                            if save_i >= save_j else np.lexsort((gi, gj))
+                    else:
+                        # nothing elidable: near-sequential gathers on
+                        # the larger-batch side (XLA-take locality)
+                        major = gi if len(rep_i) >= len(rep_j) else gj
+                        sort_idx = np.argsort(major, kind="stable")
                     gi, gj, rep = gi[sort_idx], gj[sort_idx], need[sort_idx]
                     B = len(rep)
                     overshoot = log2(B) + max(len(bond_i), len(bond_j)) \
