@@ -607,6 +607,7 @@ class GGKPlan:
     dims_y: tuple        # logical output dims incl. the leading batch
     flops: int
     est_s: float
+    blk: object = None   # RGBlk run-block metadata (MXU form), or None
 
     @property
     def w_is_j(self):
@@ -617,6 +618,9 @@ class GGKPlan:
         return None
 
 
+RG_VPU_EFF = 0.25        # measured VPU efficiency of the reduction row
+                         # (lane-reduction tree overhead; round-4 chip
+                         # profile of the 10k aligned hot step)
 RG_ROW_CAP = 1 << 15     # max row elements of the reduction form
 RG_H_CAP = 8             # unrolled fresh-leg loop bound
 RG_K_MIN = 128           # min contract run (lanes) — below this the
@@ -738,11 +742,91 @@ def plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j):
     for l in contract:
         idx += k_vals[l][None, :] * w_strides[l]
     flops = 4 * 2 * H * xrow
-    est_s = flops / VPU_FLOPS_PER_S          # pad-free by construction
+    # pad-free by construction, but the lane-axis .sum() lowers to a
+    # rotate-add reduction tree the flops model can't see: the 10k hot
+    # step (F=8, K=2048, H=2) measured 9.9 ms/slice of compute against
+    # a 2.6 ms peak-VPU model (docs/BENCH_NOTES.md round 4) — charge
+    # the measured efficiency
+    est_s = flops / (VPU_FLOPS_PER_S * RG_VPU_EFF)
     dims_y = tuple(dim_of[l] for l in riy)
     return RGRow(view_x, H, K, idx.astype(np.int32), hy_first, dims_y,
                  w_is_j, tuple(int(d) for d in dims_x), pre_perm,
                  flops, est_s)
+
+
+@dataclass(frozen=True)
+class RGBlk:
+    """Run-blocked MXU form of a reduction row: after the compiler's
+    lexsort the big-side gather index repeats in ADJACENT RUNS, so R
+    rows sharing one X row execute as a single (2F, K) x (K, R*H) dot —
+    re/im stacked along M (the F padding absorbs the doubling for free)
+    instead of R bandwidth-bound VPU programs.  Runs pad to a multiple
+    of R (pad rows read W row 0 and are dropped by the final y_src
+    compaction gather).  Executes as plain XLA ops (take + batched
+    dot_general), no pallas: tiles(2F)=1 at reduction-row shapes, so
+    XLA's batch dot pads nothing the model doesn't charge.  Measured
+    motivation: the 10k hot step (B=9998, 256 distinct X rows, runs ~39)
+    ran 10.9 ms/slice VPU-bound vs ~1.1 ms of MXU work at R=64."""
+
+    R: int               # rows per block
+    nb: int              # blocks; padded batch B' = nb * R
+    gi_blk: object       # (nb,) int32 X row of each block
+    gj_pad: object       # (nb*R,) int32 W row per padded slot (pads -> 0)
+    y_src: object        # (B*yrow,) int32: flat (nb, F, R*H) -> (B, *view_y)
+    F: int               # free elements of the row (1 when none)
+    est_s: float
+
+
+def _plan_rg_block(row, gx, gw, B, bj_rows):
+    """RGBlk variant of a planned RGRow given the (sorted) gather
+    arrays, or None when no R wins.  Cost model: batched dot cycles +
+    3-pass take traffic for the padded W gather (write + dot read, the
+    source read riding the gather)."""
+    F = row.view_x[0] if len(row.view_x) == 2 else 1
+    K, H = row.K, row.H
+    bnd = np.flatnonzero(np.r_[True, gx[1:] != gx[:-1]])
+    lens = np.diff(np.r_[bnd, len(gx)])
+    t = lambda n: -(-n // 128)
+    xrow, wrow, yrow = F * K, H * K, H * F
+    unit = 4.0 * 2
+    best = None
+    for R in (4, 8, 16, 32, 64, 128):
+        if R * H > 2048:
+            break
+        nb = int(np.sum(-(-lens // R)))
+        Bp = nb * R
+        mxu_s = nb * t(2 * F) * t(K) * t(R * H) * 128 * 2 / MXU_CLOCK_HZ
+        traffic_s = unit * (3 * nb * xrow + 3 * Bp * wrow + 3 * B * yrow
+                            + 3 * bj_rows * wrow) / HBM_BYTES_PER_S
+        est = max(mxu_s, traffic_s)
+        if best is None or est < best[1]:
+            best = (R, est, nb, Bp)
+    if best is None:
+        return None
+    R, est, nb, Bp = best
+    nblk_of_run = -(-lens // R)
+    # padded slot of each target: runs start at block boundaries
+    off = np.zeros(len(lens) + 1, dtype=np.int64)
+    off[1:] = np.cumsum(nblk_of_run * R)
+    pos_in_run = np.arange(B, dtype=np.int64) - np.repeat(bnd, lens)
+    slot = np.repeat(off[:-1], lens) + pos_in_run
+    blk_of = slot // R
+    r_of = slot % R
+    gi_blk = np.repeat(gx[bnd], nblk_of_run).astype(np.int32)
+    gj_pad = np.zeros(Bp, dtype=np.int32)
+    gj_pad[slot] = gw
+    # compaction gather: flat (nb, F, R*H) -> flat (B, *view_y); the
+    # (H, F) vs (F, H) orientation follows the row's hy_first exactly as
+    # _rg_view_y does (degenerate axes collapse identically either way)
+    h_ar = np.arange(H, dtype=np.int64)
+    f_ar = np.arange(F, dtype=np.int64)
+    src = (blk_of[:, None, None] * (F * R * H)
+           + f_ar[None, None, :] * (R * H)
+           + r_of[:, None, None] * H + h_ar[None, :, None])  # (B, H, F)
+    if not row.hy_first:
+        src = src.transpose(0, 2, 1)
+    return RGBlk(R, nb, gi_blk, gj_pad,
+                 src.reshape(-1).astype(np.int32), F, est)
 
 
 def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
@@ -805,6 +889,14 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
         / HBM_BYTES_PER_S
     est_s = max(traffic_s, B * row.est_s) \
         + B * PROGRAM_OVERHEAD_S / GGK_WIDTH_ASSUME
+    blk = None
+    if isinstance(row, RGRow):
+        blk = _plan_rg_block(row, gx_, gw_, B,
+                             bj_rows if big_is_i else bi_rows)
+        if blk is not None and blk.est_s < est_s:
+            est_s = blk.est_s
+        else:
+            blk = None
     # the XLA alternative: gathered-batch dot + 2 take passes per operand.
     # The batch-diagonal dot pads every per-row (F, K) x (K, H) problem
     # to full MXU tiles — at tiny F/H that padding dominates its runtime
@@ -827,7 +919,7 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
     return GGKPlan(row, gx, gw, B,
                    bi_rows if big_is_i else bj_rows,
                    bj_rows if big_is_i else bi_rows,
-                   (B, *row.dims_y), flops, est_s)
+                   (B, *row.dims_y), flops, est_s, blk)
 
 
 def _ggk_specs(plan, width, n_chunks=1, w_batched=True):
@@ -1156,6 +1248,48 @@ def ggk_window_bytes(plan, width, w_batched=True):
                         + _padded_elems(yw))
 
 
+def _apply_rg_block(field, xv, wv, plan, precision):
+    """Run-blocked MXU execution of an aligned reduction step (RGBlk):
+    pure XLA — padded-W take + batched dot_general with re/im stacked
+    along M, then one compaction gather back to target-row order.  All
+    ops vmap natively, so the slice width needs no custom rule; an
+    unbatched (slice-invariant) operand broadcasts for free."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from .lowering import physical_shape
+
+    row, blk = plan.row, plan.blk
+    F, K, H, R = blk.F, row.K, row.H, blk.R
+    idx_flat = jnp.asarray(row.wk_idx.reshape(-1))
+    gj_pad = jnp.asarray(blk.gj_pad)
+
+    def prep_w(w):
+        # stored rows -> (Bj, H, K) in X's contract order -> padded
+        # per-block rows (nb, R*H, K)
+        whk = jnp.take(w.reshape(plan.bj_rows, -1), idx_flat, axis=1)
+        return jnp.take(whk.reshape(plan.bj_rows, H * K), gj_pad,
+                        axis=0).reshape(blk.nb, R * H, K)
+
+    wrp, wip = prep_w(wv[0]), prep_w(wv[1])
+    gi_blk = jnp.asarray(blk.gi_blk)
+    xr = jnp.take(xv[0].reshape(plan.bi_rows, F, K), gi_blk, axis=0)
+    xi = jnp.take(xv[1].reshape(plan.bi_rows, F, K), gi_blk, axis=0)
+    xs = jnp.concatenate([xr, xi], axis=1)              # (nb, 2F, K)
+    dn = (((2,), (2,)), ((0,), (0,)))
+    dot = partial(lax.dot_general, dimension_numbers=dn,
+                  precision=precision or lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    P = dot(xs, wrp)                                    # (nb, 2F, R*H)
+    Q = dot(xs, wip)
+    yr = P[:, :F] - Q[:, F:]                            # (nb, F, R*H)
+    yi = Q[:, :F] + P[:, F:]
+    ys = jnp.asarray(blk.y_src)
+    yr = jnp.take(yr.reshape(-1), ys)
+    yi = jnp.take(yi.reshape(-1), ys)
+    return field.reshape((yr, yi), physical_shape(plan.dims_y))
+
+
 def apply_ggk_step(field, x, y, plan, interpret=None):
     """Execute one aligned step via the GGK kernel (traceable).  Under
     jax.vmap the slice width folds into a leading BLOCK dim (one DMA of
@@ -1180,6 +1314,8 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
                          (0,) + tuple(p + 1 for p in row.pre_perm),
                          (plan.bi_rows * _prod(row.row_dims),))
         xv = apply_reorder(field, xv, r)
+    if plan.blk is not None:
+        return _apply_rg_block(field, xv, wv, plan, precision)
     idx_flat = jnp.asarray(plan.row.wk_idx.reshape(-1))
     # reduction rows carry W pre-shaped to (Bj, H, *contract-runs-with-1s)
     # so the kernel's broadcast-multiply needs no in-VMEM relayout

@@ -182,6 +182,20 @@ def _peak_timeline(steps, slicing_axes=None, bytes_per_elem=4.0,
                 extra_d += wk
             else:
                 extra_s += wk
+            blk = getattr(lane, "blk", None)
+            if blk is not None:
+                # run-blocked XLA form: padded-W take (nb*R rows) plus
+                # the re/im-stacked X and the two dot outputs coexist
+                wp = blk.nb * blk.R * row.H * row.K
+                if is_dyn(w_id):
+                    extra_d += wp
+                else:
+                    extra_s += wp
+                xsq = 2 * blk.nb * blk.F * (row.K + blk.R * row.H)
+                if is_dyn(s.i) or is_dyn(s.j):
+                    extra_d += xsq
+                else:
+                    extra_s += xsq
             extra_d += out        # pallas-output relayout copy
             if getattr(row, "pre_perm", None) is not None:
                 x_id = s.i if row.w_is_j else s.j

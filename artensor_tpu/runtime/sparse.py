@@ -499,38 +499,29 @@ def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
                     # targets so one side's gather index repeats
                     # ADJACENTLY.  On the GGK kernel path an unchanged
                     # block index between consecutive programs skips the
-                    # DMA entirely, so the side worth grouping is the one
-                    # with the larger avoidable traffic,
-                    # row_elems x (B - distinct rows).  The big-row (X)
-                    # side only elides in the one-program-per-row
-                    # reduction form (tiny surviving frees, K >= 128) —
-                    # gate its savings on that proxy; the small (W)
-                    # side's window is row-constant within a row and
-                    # elides in every form.  The n30 junction steps read
-                    # 16k-element rows ~40x each under the old
-                    # more-reps-side sort (docs/BENCH_NOTES.md round 4).
-                    row_i = _prod_dims(dim_of, bond_i)
-                    row_j = _prod_dims(dim_of, bond_j)
-                    nset = set(new_bonds)
-                    K_c = _prod_dims(dim_of, contracted)
-
-                    def _save(g, row_elems, is_big, F_s):
-                        if is_big and not (F_s <= 32 and K_c >= 128):
-                            return 0
-                        return row_elems * (len(g) - len(np.unique(g)))
-
-                    F_i = _prod_dims(dim_of,
-                                     [b for b in bond_i if b in nset])
-                    F_j = _prod_dims(dim_of,
-                                     [b for b in bond_j if b in nset])
-                    save_i = _save(gi, row_i, row_i >= row_j, F_i)
-                    save_j = _save(gj, row_j, row_j > row_i, F_j)
-                    if save_i or save_j:
-                        sort_idx = np.lexsort((gj, gi)) \
-                            if save_i >= save_j else np.lexsort((gi, gj))
-                    else:
-                        # nothing elidable: near-sequential gathers on
-                        # the larger-batch side (XLA-take locality)
+                    # DMA entirely, so which side to group is a traffic
+                    # question the kernel planner already models (runs-
+                    # based fetch counts, plan_ggk_step) — plan BOTH
+                    # candidate orders and keep the cheaper estimate.
+                    # The n30 junction steps read 16k-element rows ~40x
+                    # each under the round-3 more-reps-side sort
+                    # (docs/BENCH_NOTES.md round 4).
+                    sort_idx = None
+                    if lane_schedule:
+                        from .gatherk import plan_ggk_step as _pggk
+                        best_est = None
+                        for cand in (np.lexsort((gj, gi)),
+                                     np.lexsort((gi, gj))):
+                            p = _pggk(tuple(bond_i), tuple(bond_j),
+                                      tuple(new_bonds), tuple(dims_bi),
+                                      tuple(dims_bj), gi[cand], gj[cand],
+                                      len(rep_i), len(rep_j))
+                            if p is not None and (best_est is None
+                                                  or p.est_s < best_est):
+                                best_est, sort_idx = p.est_s, cand
+                    if sort_idx is None:
+                        # no kernel form: near-sequential gathers on the
+                        # larger-batch side (XLA-take locality)
                         major = gi if len(rep_i) >= len(rep_j) else gj
                         sort_idx = np.argsort(major, kind="stable")
                     gi, gj, rep = gi[sort_idx], gj[sort_idx], need[sort_idx]

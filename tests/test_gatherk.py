@@ -520,19 +520,25 @@ def test_headline_scheme_kernel_steps_oracle():
 # -- gathered gather-K (aligned steps) --------------------------------------
 
 def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0,
-                w_unbatched=False, vmem_budget=None):
+                w_unbatched=False, vmem_budget=None, sort_gi=False,
+                force_blk=False):
     """Build an aligned-step instance, run the GGK kernel (interpret) and
     check against the take+einsum reference.
 
     ``w_unbatched``: vmap the X pair only (W in_axes None — the
     slice-invariant small-operand fast path).  ``vmem_budget``: shrink
     GK_VMEM_BUDGET so the call walks width chunks via the leading grid
-    axis."""
+    axis.  ``sort_gi``: lexsort the gathers gi-major (the compiler's
+    run-grouping order).  ``force_blk``: attach run-block (RGBlk)
+    metadata regardless of the est choice, exercising the MXU form."""
     from artensor_tpu.runtime.gatherk import apply_ggk_step, plan_ggk_step
 
     rng = np.random.default_rng(seed)
     gi = rng.integers(0, bi, B).astype(np.int32)
     gj = rng.integers(0, bj, B).astype(np.int32)
+    if sort_gi:
+        sidx = np.lexsort((gj, gi))
+        gi, gj = gi[sidx], gj[sidx]
     old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
     gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
     try:
@@ -540,6 +546,12 @@ def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0,
     finally:
         gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
     assert plan is not None, gk.LAST_REJECT
+    if force_blk and plan.blk is None:
+        from dataclasses import replace
+        blk = gk._plan_rg_block(plan.row, np.asarray(plan.gi),
+                                np.asarray(plan.gj), plan.B, plan.bj_rows)
+        assert blk is not None
+        plan = replace(plan, blk=blk)
     shp_i = (width, bi, *rd_i) if width else (bi, *rd_i)
     shp_j = (bj, *rd_j) if w_unbatched or not width \
         else (width, bj, *rd_j)
@@ -647,6 +659,52 @@ def test_ggk_chunked_grid():
                 ("h", "f0", "f1"),
                 (4, 2, 2, 16, 4), (2, 4, 16, 2), seed=24,
                 vmem_budget=20_000, w_unbatched=True, **common)
+
+
+def test_rgblk_forms():
+    """Run-blocked MXU form of reduction rows (RGBlk): forced on a
+    run-structured gather, all width/batching variants, both output
+    orientations and the no-free-leg row."""
+    rd_i, rd_j = (4, 2, 2, 16, 4), (2, 4, 16, 2)
+    rx_i, rx_j = ("k0", "k1", "f0", "k2", "f1"), ("k1", "k0", "k2", "h")
+    kw = dict(B=50, bi=5, bj=7, sort_gi=True, force_blk=True)
+    # hy_first output (fresh leads)
+    p = _ggk_oracle(rx_i, rx_j, ("h", "f0", "f1"), rd_i, rd_j, seed=31, **kw)
+    assert p.blk is not None
+    # frees lead the output
+    _ggk_oracle(rx_i, rx_j, ("f0", "f1", "h"), rd_i, rd_j, seed=32, **kw)
+    # slice-vmapped, W batched and unbatched
+    _ggk_oracle(rx_i, rx_j, ("h", "f0", "f1"), rd_i, rd_j, seed=33,
+                width=3, **kw)
+    _ggk_oracle(rx_i, rx_j, ("h", "f0", "f1"), rd_i, rd_j, seed=34,
+                width=2, w_unbatched=True, **kw)
+    # no fresh legs (H = 1): W is all-contract
+    _ggk_oracle(("k0", "f0", "k2", "f1"), ("k0", "k2"), ("f0", "f1"),
+                (16, 2, 16, 4), (16, 16), seed=35, **kw)
+    # no free legs (F = 1): output is the fresh block only
+    _ggk_oracle(("k0", "k2"), ("k0", "k2", "h"), ("h",),
+                (16, 16), (16, 16, 2), seed=36, **kw)
+
+
+def test_rgblk_natural_selection():
+    """At a 10k-like run structure (few distinct X rows, long runs) the
+    planner's est picks the blocked form on its own."""
+    from artensor_tpu.runtime.gatherk import plan_ggk_step
+
+    rng = np.random.default_rng(7)
+    B, bi, bj = 4096, 16, 512
+    gi = np.sort(rng.integers(0, bi, B)).astype(np.int32)
+    gj = rng.integers(0, bj, B).astype(np.int32)
+    old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
+    gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
+    try:
+        plan = plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
+                             (2048, 8), (2048, 2), gi, gj, bi, bj)
+    finally:
+        gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
+    assert plan is not None, gk.LAST_REJECT
+    assert plan.blk is not None
+    assert plan.est_s == plan.blk.est_s
 
 
 def test_ggk_rejections():
