@@ -113,6 +113,14 @@ class GKPlan:
                          # the scheme compiler uses it to ask X's PRODUCER
                          # to emit this order directly (pass 2), making
                          # the explicit pre transpose unnecessary
+    w_dims: object = None  # W's stored digit dims (prod = H*K).  wk_idx
+                         # is built purely from digit strides, so the wk
+                         # take is ALWAYS a digit transpose of the stored
+                         # row — with w_perm it lowers as reshape ->
+                         # transpose -> reshape (XLA transpose copy)
+                         # instead of a gather
+    w_perm: object = None  # stored-digit positions in target (H-digits,
+                         # K-digits) order
 
 
 def gk_window_bytes(x_axes, view_x, y_axes, K, H, fm, gb_gid,
@@ -474,10 +482,14 @@ def plan_gk_step(ix_i, ix_j, iy, dims_i, dims_j, pin=0, row_mode=False):
         if est_s > est_xla * SLACK:
             return _rej("not-better")
     dims_y = tuple(dim_of[l] for l in iy)
+    wpos = {l: k for k, l in enumerate(ix_w)}
     return GKPlan(w_is_j, tuple(view_x), tuple(x_axes), tuple(view_y),
                   tuple(y_axes), block, K, H, tuple(c_dims),
                   idx.astype(np.int32), use_mxu, dims_y, flops, est_s,
-                  qb, fm, gb_gid, gt)
+                  qb, fm, gb_gid, gt,
+                  w_dims=tuple(dim_of[l] for l in ix_w),
+                  w_perm=tuple(wpos[l] for l in
+                               list(n_legs) + list(contract)))
 
 
 def plan_gk_step_pre(ix_i, ix_j, iy, dims_i, dims_j, pin=0):
@@ -652,9 +664,16 @@ class RGRow:
     pre_perm: tuple      # row-axis permutation to canonical, or None
     flops: int
     est_s: float
+    px: tuple = None     # canonical X leg order (negotiation target for
+                         # the producer; None when already canonical)
+    wx: tuple = None     # canonical W leg order: fresh (riy order) then
+                         # contract in X-stored digit order — a producer
+                         # emitting this makes wk_idx the identity and
+                         # the wk take disappears (apply_ggk_step)
+    w_dims: tuple = None  # stored digit dims / transpose perm: the wk
+    w_perm: tuple = None  # take is a digit transpose (see GKPlan)
 
     pre = None
-    px = None
 
     @property
     def cls_x(self):
@@ -749,9 +768,14 @@ def plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j):
     # the measured efficiency
     est_s = flops / (VPU_FLOPS_PER_S * RG_VPU_EFF)
     dims_y = tuple(dim_of[l] for l in riy)
+    wpos = {l: k for k, l in enumerate(ix_w)}
     return RGRow(view_x, H, K, idx.astype(np.int32), hy_first, dims_y,
                  w_is_j, tuple(int(d) for d in dims_x), pre_perm,
-                 flops, est_s)
+                 flops, est_s,
+                 px if pre_perm is not None else None,
+                 tuple(fresh_y) + tuple(contract),
+                 tuple(dim_of[l] for l in ix_w),
+                 tuple(wpos[l] for l in list(h_order) + list(contract)))
 
 
 @dataclass(frozen=True)
@@ -781,7 +805,13 @@ def _plan_rg_block(row, gx, gw, B, bj_rows):
     """RGBlk variant of a planned RGRow given the (sorted) gather
     arrays, or None when no R wins.  Cost model: batched dot cycles +
     3-pass take traffic for the padded W gather (write + dot read, the
-    source read riding the gather)."""
+    source read riding the gather).  The padded-W take is a slice-
+    VARYING temp in the worst case, so R values whose footprint would
+    collapse the scheme's slice-vmap width are excluded (sc22_r2@10k
+    measured: blk-at-w8 3.79 s vs row-at-w64 2.75 s; forced w32 OOMs
+    at 19.6 G)."""
+    from ..planner.cost import HBM_BUDGET_BYTES
+
     F = row.view_x[0] if len(row.view_x) == 2 else 1
     K, H = row.K, row.H
     bnd = np.flatnonzero(np.r_[True, gx[1:] != gx[:-1]])
@@ -795,6 +825,8 @@ def _plan_rg_block(row, gx, gw, B, bj_rows):
             break
         nb = int(np.sum(-(-lens // R)))
         Bp = nb * R
+        if 4 * 2 * Bp * wrow * GGK_WIDTH_ASSUME > 0.25 * HBM_BUDGET_BYTES:
+            continue
         mxu_s = nb * t(2 * F) * t(K) * t(R * H) * 128 * 2 / MXU_CLOCK_HZ
         traffic_s = unit * (3 * nb * xrow + 3 * Bp * wrow + 3 * B * yrow
                             + 3 * bj_rows * wrow) / HBM_BYTES_PER_S
@@ -883,20 +915,34 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
             row.view_x[k] for k, a in enumerate(row.x_axes)
             if a[0] == "g"))
     fetch_x = runs_x if n_inner == 1 else B
-    traffic_s = unit * (fetch_x * xrow + runs_w * wrow + B * yrow
-                        + pre_elems
-                        + 3 * (bj_rows if big_is_i else bi_rows) * wrow) \
+    # the wk take (stored W rows -> (Bj, H, K) in X's contract-digit
+    # order) and the RGRow canonical pre-reorder are XLA passes SERIAL
+    # with the kernel — additive, not hidden under the roofline max —
+    # and the wk take vanishes entirely when the producer already emits
+    # the canonical order (wk_idx identity: negotiation's target)
+    wk_ident = bool(np.array_equal(row.wk_idx.ravel(),
+                                   np.arange(row.wk_idx.size)))
+    # the wk relayout lowers as a digit TRANSPOSE (one read + one write
+    # pass; _wk_transpose), not a gather — 2 passes, and zero when the
+    # producer already emits the canonical order
+    wk_s = 0.0 if wk_ident else unit * 2 \
+        * (bj_rows if big_is_i else bi_rows) * wrow / HBM_BYTES_PER_S
+    traffic_s = unit * (fetch_x * xrow + runs_w * wrow + B * yrow) \
         / HBM_BYTES_PER_S
-    est_s = max(traffic_s, B * row.est_s) \
+    pre_s = unit * pre_elems / HBM_BYTES_PER_S
+    base_s = max(traffic_s, B * row.est_s) \
         + B * PROGRAM_OVERHEAD_S / GGK_WIDTH_ASSUME
     blk = None
     if isinstance(row, RGRow):
         blk = _plan_rg_block(row, gx_, gw_, B,
                              bj_rows if big_is_i else bi_rows)
-        if blk is not None and blk.est_s < est_s:
-            est_s = blk.est_s
+        # both forms pay the wk take and the canonical pre-reorder —
+        # compare on the form-specific part only
+        if blk is not None and blk.est_s < base_s:
+            base_s = blk.est_s
         else:
             blk = None
+    est_s = base_s + wk_s + pre_s
     # the XLA alternative: gathered-batch dot + 2 take passes per operand.
     # The batch-diagonal dot pads every per-row (F, K) x (K, H) problem
     # to full MXU tiles — at tiny F/H that padding dominates its runtime
@@ -1264,10 +1310,19 @@ def _apply_rg_block(field, xv, wv, plan, precision):
     idx_flat = jnp.asarray(row.wk_idx.reshape(-1))
     gj_pad = jnp.asarray(blk.gj_pad)
 
+    wk_ident = bool(np.array_equal(row.wk_idx.ravel(),
+                                   np.arange(row.wk_idx.size)))
+
     def prep_w(w):
-        # stored rows -> (Bj, H, K) in X's contract order -> padded
-        # per-block rows (nb, R*H, K)
-        whk = jnp.take(w.reshape(plan.bj_rows, -1), idx_flat, axis=1)
+        # stored rows -> (Bj, H, K) in X's contract order (free when the
+        # producer emits that order; a digit TRANSPOSE otherwise, never a
+        # gather) -> padded per-block rows (nb, R*H, K)
+        if wk_ident:
+            whk = w.reshape(plan.bj_rows, -1)
+        elif row.w_dims is not None:
+            whk = _wk_transpose(w, (), plan.bj_rows, row, (H * K,))
+        else:
+            whk = jnp.take(w.reshape(plan.bj_rows, -1), idx_flat, axis=1)
         return jnp.take(whk.reshape(plan.bj_rows, H * K), gj_pad,
                         axis=0).reshape(blk.nb, R * H, K)
 
@@ -1317,19 +1372,31 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
     if plan.blk is not None:
         return _apply_rg_block(field, xv, wv, plan, precision)
     idx_flat = jnp.asarray(plan.row.wk_idx.reshape(-1))
+    # the wk take disappears when the producer already emits W rows in
+    # the canonical (H, K-in-X-contract-digit) order — the negotiation
+    # pass requests exactly this order from flexible producers
+    wk_ident = bool(np.array_equal(plan.row.wk_idx.ravel(),
+                                   np.arange(plan.row.wk_idx.size)))
     # reduction rows carry W pre-shaped to (Bj, H, *contract-runs-with-1s)
     # so the kernel's broadcast-multiply needs no in-VMEM relayout
     w_view = (row.H,) + _rg_wshape(row) if isinstance(row, RGRow) \
         else (row.H, row.K)
     x_view = _rg_pad(row.view_x) if isinstance(row, RGRow) else row.view_x
 
+    def _wk(w, lead=()):
+        rows = (plan.bj_rows,)
+        if wk_ident:
+            return w.reshape(lead + rows + w_view)
+        if row.w_dims is not None:
+            return _wk_transpose(w, lead, plan.bj_rows, row, w_view)
+        ax = len(lead)
+        return jnp.take(w.reshape(lead + rows + (-1,)), idx_flat,
+                        axis=ax + 1).reshape(lead + rows + w_view)
+
     @jax.custom_batching.custom_vmap
     def ggk(xr, xi, wr, wi):
         # w rows -> (Bj, H, K) via the static per-row wk gather
-        whr = jnp.take(wr.reshape(plan.bj_rows, -1), idx_flat, axis=1) \
-            .reshape((plan.bj_rows,) + w_view)
-        whi = jnp.take(wi.reshape(plan.bj_rows, -1), idx_flat, axis=1) \
-            .reshape((plan.bj_rows,) + w_view)
+        whr, whi = _wk(wr), _wk(wi)
         xrv = xr.reshape((plan.bi_rows,) + x_view)
         xiv = xi.reshape((plan.bi_rows,) + x_view)
         yr, yi = _ggk_call(plan, interpret, 0, precision,
@@ -1345,19 +1412,13 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
             xr = jnp.broadcast_to(xr[None], (W,) + xr.shape)
             xi = jnp.broadcast_to(xi[None], (W,) + xi.shape)
         if wbat:
-            whr = jnp.take(wr.reshape(W, plan.bj_rows, -1), idx_flat,
-                           axis=2).reshape((W, plan.bj_rows) + w_view)
-            whi = jnp.take(wi.reshape(W, plan.bj_rows, -1), idx_flat,
-                           axis=2).reshape((W, plan.bj_rows) + w_view)
+            whr, whi = _wk(wr, (W,)), _wk(wi, (W,))
         else:
             # slice-invariant small operand (e.g. a folded gate block):
             # gather it ONCE and let every program read the same window —
             # round-3 broadcast-then-take materialized W copies of it
             # (profiled ~60 ms/run of take + relayout on the headline)
-            whr = jnp.take(wr.reshape(plan.bj_rows, -1), idx_flat,
-                           axis=1).reshape((plan.bj_rows,) + w_view)
-            whi = jnp.take(wi.reshape(plan.bj_rows, -1), idx_flat,
-                           axis=1).reshape((plan.bj_rows,) + w_view)
+            whr, whi = _wk(wr), _wk(wi)
         xrv = xr.reshape((W, plan.bi_rows) + x_view)
         xiv = xi.reshape((W, plan.bi_rows) + x_view)
         # fold the width into the block windows while they fit VMEM;
@@ -1435,6 +1496,20 @@ def _build_wk(w_flat, plan):
     import jax.numpy as jnp
 
     return jnp.take(w_flat.reshape((-1,)), jnp.asarray(plan.wk_idx))
+
+
+def _wk_transpose(w, lead, rows, row, w_view):
+    """The wk relayout as reshape -> transpose -> reshape: wk_idx is
+    built purely from digit strides (plan_gk_step / plan_rg_row), so it
+    is always a digit TRANSPOSE of W's stored row — XLA lowers a
+    transpose as one copy where the equivalent jnp.take lowers as a
+    (bandwidth-hostile) gather.  ``lead`` = leading batch dims (e.g. the
+    slice-vmap width), ``rows`` = stored W rows, ``w_view`` = target row
+    view (prod = H*K)."""
+    n = len(lead) + 1
+    perm = tuple(range(n)) + tuple(n + p for p in row.w_perm)
+    return w.reshape(lead + (rows,) + tuple(row.w_dims)) \
+        .transpose(perm).reshape(lead + (rows,) + tuple(w_view))
 
 
 def _block_axes(plan):

@@ -66,6 +66,12 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
 
     est1 = scheme_wall_estimate(steps1, 0)[0]
     eps = est1 * 1e-6
+    # exploration-only tolerance for washes: a relocated pre-transpose
+    # lands on a DIFFERENT buffer, so its cost is near-equal, not equal
+    # (measured: the n30 aligned-junction chain relocates 0.29 ms of
+    # pre-reorder at +0.006 ms, which the strict eps pruned).  Commits
+    # still require a strictly better estimate.
+    wash_tol = est1 * 1e-3
     kern1 = [s.lane is not None for s in steps1]
     state = {"best": res1, "best_est": est1, "compiles": 0}
     cache = {}
@@ -151,7 +157,7 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
                 _res2, steps2, req2, est2, lost, compiled = _eval(trial)
                 if compiled:
                     trials += 1
-                if lost or est2 > est + eps:
+                if lost or est2 > est + wash_tol:
                     continue
                 merged = dict(pend)
                 merged.update(req2)
@@ -216,7 +222,7 @@ def negotiate(compile_fn, max_trials=40, chain_budget=100,
                     break
                 if move[2] < est - eps:
                     washes = 0
-                elif move[2] <= est + eps and washes < 2:
+                elif move[2] <= est + wash_tol and washes < 2:
                     # allow a bounded run of washes: relocated
                     # pre-transposes often resolve one link further up
                     washes += 1

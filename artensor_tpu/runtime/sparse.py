@@ -588,6 +588,38 @@ def _compile_sparse(ctree, bitstrings, sc_target, lane_schedule,
                     len(rep_i), len(rep_j))
                 if lane is None:
                     note = str(gatherk.LAST_REJECT)
+                elif isinstance(lane.row, gatherk.RGRow):
+                    # an aligned reduction step pays two serial XLA
+                    # relayouts the kernel cannot fuse: the canonical
+                    # (F, K) pre-reorder of X and the wk take of W.
+                    # BOTH die with one producer move when X's producer
+                    # emits (frees in iy order, contract in W's STORED
+                    # digit order): px == stored kills the pre-reorder,
+                    # and the X/W digit agreement makes wk_idx identity
+                    # (est charges both additively, so the negotiation
+                    # driver sees the win).  Asking W's producer instead
+                    # measured as a dead end: the n30 junction's W comes
+                    # from another GGK step whose kernel cannot survive
+                    # the order change (hard guard).  Labels here are
+                    # this step's original bond labels: exactly the
+                    # producer's output order space.
+                    rrow = lane.row
+                    x_tid = i if lane.w_is_j else j
+                    xb, wb = (bond_i, bond_j) if lane.w_is_j \
+                        else (bond_j, bond_i)
+                    cset = (set(xb) & set(wb)) - set(new_bonds)
+                    frees = [l for l in new_bonds if l in set(xb)]
+                    cand_w = tuple(frees) + tuple(
+                        l for l in wb if l in cset)
+                    cands = (cand_w,)
+                    if rrow.px is not None and tuple(rrow.px) != cand_w:
+                        cands += (tuple(rrow.px),)
+                    cands = tuple(c for c in cands if c != tuple(xb))
+                    prod = produced_by.get(x_tid)
+                    if cands and prod is not None \
+                            and prod not in requests \
+                            and prod not in (_overrides or {}):
+                        requests[prod] = cands
         else:
             lowered = lower_step(ix_i, ix_j, iy, dims_i, dims_j)
             lowered_chunks = None

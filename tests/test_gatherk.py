@@ -698,13 +698,18 @@ def test_rgblk_natural_selection():
     old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
     gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
     try:
+        # K sized so the padded-W take footprint stays inside the
+        # planner's at-width HBM exclusion (which is itself tested via
+        # the est model, not here)
         plan = plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
-                             (2048, 8), (2048, 2), gi, gj, bi, bj)
+                             (1024, 8), (1024, 2), gi, gj, bi, bj)
     finally:
         gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
     assert plan is not None, gk.LAST_REJECT
     assert plan.blk is not None
-    assert plan.est_s == plan.blk.est_s
+    # est = blocked form + the shared serial relayouts (wk take; no
+    # pre-reorder here), strictly cheaper than the row form's est
+    assert plan.est_s >= plan.blk.est_s
 
 
 def test_ggk_rejections():
