@@ -78,10 +78,18 @@ def main():
                 e(X(agr), Wm(cgi)) + e(X(agi), Wm(cgr)))
 
     def scan16(base):
+        # NB: perturbing the operand (xr + 0.0*c) re-materializes it with
+        # an XLA-chosen layout the Mosaic kernel then rejects at remote
+        # compile (scripts/rg_compile_probe.py: the same shapes compile
+        # fine standalone).  An optimization_barrier defeats CSE without
+        # touching the layout.
         def wrapped(gix, xr, xi, wr, wi):
             def body(c, _):
-                yr, yi = base(xr + 0.0 * c, xi, wr, wi)
-                return yr.ravel()[0] * 0, None
+                # tying the barrier to the carry defeats loop-invariant
+                # hoisting too, at zero layout/value change
+                xr2, _c = jax.lax.optimization_barrier((xr, c))
+                yr, yi = base(xr2, xi, wr, wi)
+                return yr.ravel()[0] * 0 + _c, None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=8)
             return c
         return jax.jit(wrapped)
