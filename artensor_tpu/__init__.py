@@ -45,7 +45,8 @@ __all__ = [
 
 def __getattr__(name):
     """Lazy exports that pull in jax only when actually used."""
-    if name in ("TensorNetworkCircuit", "parse_qsim", "load_cirq_circuit"):
+    if name in ("TensorNetworkCircuit", "parse_qsim", "load_cirq_circuit",
+                "from_cirq"):
         from . import circuits
         return getattr(circuits, name)
     if name in (

@@ -83,6 +83,7 @@ class TensorNetworkCircuit:
             arrays.append(_basis_vec(bit))
             bonds.append([f"0-{q}"])
         wire = [0] * self.n
+        last_sq = [False] * self.n   # wire ends on a single-qubit gate?
         for layer in self.layers:
             for name, qubits, params in layer:
                 builder, nq = QSIM_GATES[name]
@@ -92,10 +93,25 @@ class TensorNetworkCircuit:
                 bonds.append(out_legs + in_legs)
                 for q in qubits:
                     wire[q] += 1
+                    last_sq[q] = len(qubits) == 1
         if self.final_state is not None:
             for q, bit in enumerate(self.final_state):
                 arrays.append(_basis_vec(bit))
                 bonds.append([f"{wire[q]}-{q}"])
+        else:
+            # open outputs: cap every qubit whose wire ends on a MULTI-qubit
+            # gate (or on the bare init vector) with an identity, so each
+            # output leg lives on its own rank-2 single-qubit tensor — the
+            # invariant simplify's sparse-batch handling relies on.  The
+            # reference instead silently requires circuits to END with a
+            # full single-qubit layer (its final_qubits are just the last n
+            # tensors, /root/reference/artensor/circuit.py:121-122); Sycamore
+            # files satisfy that, arbitrary (e.g. cirq-built) circuits don't.
+            for q in range(self.n):
+                if not last_sq[q]:
+                    arrays.append(np.eye(2, dtype=np.complex128))
+                    bonds.append([f"{wire[q] + 1}-{q}", f"{wire[q]}-{q}"])
+                    wire[q] += 1
         self.arrays = arrays
         self.bonds = bonds
         self._wire = wire

@@ -113,9 +113,22 @@ class _Gate:
 
 def _pow_u(U, t):
     """Principal-branch matrix power — cirq's ``*PowGate`` convention
-    (eigenvalue e^{i theta}, theta in (-pi, pi], raised as e^{i theta t})."""
-    vals, vecs = np.linalg.eig(np.asarray(U, dtype=np.complex128))
-    return (vecs * np.exp(t * np.log(vals))) @ np.conj(vecs.T)
+    (eigenvalue e^{i theta}, theta in (-pi, pi], raised as e^{i theta t}).
+
+    np.linalg.eig does NOT return an orthonormal eigenbasis for degenerate
+    eigenvalues of a general complex matrix, so the reconstruction uses the
+    true inverse, not the conjugate transpose (conj(vecs.T) silently
+    produced a non-unitary wrong power on degenerate-spectrum unitaries —
+    round-4 advisor finding).  A unitarity check guards the result."""
+    U = np.asarray(U, dtype=np.complex128)
+    vals, vecs = np.linalg.eig(U)
+    P = (vecs * np.exp(t * np.log(vals))) @ np.linalg.inv(vecs)
+    err = np.abs(P @ np.conj(P.T) - np.eye(len(P))).max()
+    if err > 1e-9:
+        raise ValueError(
+            f"matrix power of a non-unitary (or ill-conditioned) gate: "
+            f"|P P^dag - I| = {err:.2e}")
+    return P
 
 
 _X = np.array([[0, 1], [1, 0]], dtype=np.complex128)
@@ -196,6 +209,51 @@ def _shim_namespace(collector):
     shim.Moment = lambda operations: list(operations)
     shim.Circuit = lambda moments: collector(moments)
     return shim
+
+
+def from_cirq(circuit, qubit_order=None):
+    """Convert a LIVE in-memory ``cirq.Circuit`` to ``(n, layers)``.
+
+    The reference consumes cirq circuits by extracting each gate's unitary
+    (``cirq.unitary(gate)``, /root/reference/examples/load_circuits.py:289-315);
+    this does the same through the underlying ``_unitary_`` protocol, so it
+    needs no cirq import itself — any object shaped like a cirq circuit
+    works: iterating it yields moments, iterating a moment yields operations
+    with ``.qubits`` and ``.gate``, and the gate (or the operation) exposes
+    its matrix via ``_unitary_()``.  Every gate lowers to the
+    ``'__matrix__'`` pseudo-gate (:func:`..gates.matrix_gate`).
+
+    ``qubit_order``: explicit qubit sequence; defaults to the sorted
+    ``circuit.all_qubits()`` (cirq's default ordering convention).
+    """
+    if qubit_order is None:
+        qubit_order = sorted(circuit.all_qubits())
+    index = {q: i for i, q in enumerate(qubit_order)}
+
+    def _unitary_of(op):
+        for obj in (op.gate, op):
+            fn = getattr(obj, "_unitary_", None)
+            if fn is not None:
+                u = fn()
+                if u is not None and u is not NotImplemented:
+                    return np.asarray(u, dtype=np.complex128)
+        raise ValueError(f"operation {op!r} has no unitary "
+                         "(measurements/channels are not tensor-network ops)")
+
+    layers = []
+    for moment in circuit:
+        layer = []
+        for op in moment:
+            U = _unitary_of(op)
+            qubits = tuple(index[q] for q in op.qubits)
+            if U.shape != (2 ** len(qubits),) * 2:
+                raise ValueError(
+                    f"unitary shape {U.shape} does not match "
+                    f"{len(qubits)} qubits for {op!r}")
+            layer.append(("__matrix__", qubits, (U,)))
+        if layer:
+            layers.append(layer)
+    return len(qubit_order), layers
 
 
 def load_cirq_circuit(path):

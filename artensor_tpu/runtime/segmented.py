@@ -86,6 +86,35 @@ def make_segmented_executor(steps, apply_step, field, segment_steps=64,
     return run_once, final_id
 
 
+def _is_device_oom(e):
+    """True only for a genuine device/compiler memory exhaustion.
+
+    The retry path must not swallow unrelated errors whose message merely
+    contains 'memory' (e.g. a shape error mentioning 'memory layout') —
+    round-4 advisor finding.  Recognized: jax's XlaRuntimeError carrying a
+    RESOURCE_EXHAUSTED status, and the remote-compile helper's explicit
+    HBM-demand report ('used X of Y hbm')."""
+    try:
+        from jax.errors import JaxRuntimeError as _XlaErr
+    except ImportError:  # older jax spells it XlaRuntimeError
+        try:
+            from jax._src.lib import xla_client
+            _XlaErr = xla_client.XlaRuntimeError
+        except Exception:  # pragma: no cover - very old jax
+            _XlaErr = ()
+    msg = str(e)
+    if isinstance(e, _XlaErr) and (
+            "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            or "out of memory" in msg):
+        return True
+    # the environment's remote compile helper reports HBM exhaustion as a
+    # plain RuntimeError with an explicit demand line
+    low = msg.lower()
+    return ("hbm" in low and ("used" in low or "exceeded" in low
+                              or "out of memory" in low)) \
+        or "resource_exhausted" in low
+
+
 def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
                   field, apply_step, segment_steps=64, progress=None,
                   slice_batch=1, slice_ids=None, audit_width=True):
@@ -152,17 +181,16 @@ def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
     while True:
         try:
             return attempt(W)
-        except Exception as e:  # noqa: BLE001 — XLA OOM surfaces vary
-            msg = str(e).lower()
-            oom = "memory" in msg or "hbm" in msg or "resource" in msg
-            if not (audit_width and oom and W > 1):
+        except Exception as e:  # noqa: BLE001 — narrowed by _is_device_oom
+            if not (audit_width and W > 1 and _is_device_oom(e)):
                 raise
             # the audit's liveness model missed this scheme's real peak
             # (fusion temps / failed donations); halve and restart — the
             # OOM is a first-batch compile failure, nothing accumulated
             W //= 2
-            log.warning("segmented slice batch OOM'd on device; "
-                        "retrying with slice_batch=%d", W)
+            log.warning("segmented slice batch OOM'd on device (%s); "
+                        "retrying with slice_batch=%d",
+                        str(e).splitlines()[0][:120], W)
 
 
 def run_segmented_sharded(tensors, steps, slicing_axes, num_sliced,

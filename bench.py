@@ -13,9 +13,13 @@ width override), BENCH_NBITS (amplitude count; 10000 = the north-star
 config), BENCH_KERNEL_CAP (Pallas step cap), BENCH_UNROLL (scan
 unroll).
 
-``python bench.py --suite`` machine-captures the other BASELINE.md
-configs too (VERDICT r3 item 6): one JSON line per config — sparse 1k,
-sparse 10k (north star), and the dense 2^30 output-block walk.
+``python bench.py`` emits the FULL suite by default (VERDICT r4 item 2:
+the driver captures whatever the default run prints, and the 10k north
+star had never appeared in a BENCH_r*.json): one JSON line per config —
+sparse 1k, sparse 10k (north star), the dense 2^30 output-block walk,
+and the n53 m20 pod-subtask forced end-to-end slice rate.  BENCH_ONLY
+picks a single config ('1k', '10k', 'dense', 'n53' or an amplitude
+count via BENCH_NBITS).
 
 Baselines for vs_baseline: the reference implementation's execution
 model (one torch.einsum per scheme step) on the SAME plan/scheme on the
@@ -37,6 +41,8 @@ import numpy as np
 
 REF_CIRCUIT = "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py"
 REF_AMPLITUDES = "/root/reference/examples/amplitudes_n30_m14_s0_e0_pEFGH_10000.txt"
+N53_CIRCUIT = ("/root/reference/examples/circuits/"
+               "circuit_n53_m20_s0_e0_pABCDCDAB.qsim")
 
 # torch-CPU baselines, measured on THIS box by scripts/torch_baseline.py
 # (reference execution model on the same plan/scheme; round-4 session,
@@ -271,6 +277,67 @@ def bench_dense_blocks(n_blocks=3):
     return rec
 
 
+def bench_n53(n_slices=8, width=2):
+    """n53 m20 pod-subtask: forced end-to-end s/slice of the committed
+    sc24 plan, segmented + kernel-scheduled (the pod path's per-chip
+    rate; the full 2^26-slice job shards the slice axis over ICI/DCN).
+    Dispatch is async, so the rate is wall from the end of the first
+    batch (which pays the compiles) to the forced readback."""
+    import jax
+
+    from artensor_tpu import plan_io
+    from artensor_tpu.circuits import TensorNetworkCircuit
+    from artensor_tpu.network import NumericalTensorNetwork
+    from artensor_tpu.ops.field import make_field
+    from artensor_tpu.runtime.executor import (
+        build_slicing_axes, precompute_static_steps, stage_tensors)
+    from artensor_tpu.runtime.scheme_cache import cached_scheme_sparse
+    from artensor_tpu.runtime.segmented import apply_sparse_step, run_segmented
+
+    plan = "plans/n53_m20_sparse_sc24.json"
+    circ = TensorNetworkCircuit(N53_CIRCUIT)
+    tensors, tb, bd, fq = circ.to_numerical_tn()
+    ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
+    tb2, fq2 = ntn.simplify("sparse")
+    order, sliced, ctree = plan_io.load_plan(plan)
+    rng = np.random.default_rng(0)
+    bits = sorted({"".join(map(str, row))
+                   for row in rng.integers(0, 2, size=(1000, circ.n))})
+    steps, ob, bs = cached_scheme_sparse(plan, ctree, bits, sc_target=24,
+                                         lane_max_steps=10000)
+    axes = build_slicing_axes(tb2, sliced, batched_tensors=fq2,
+                              bond_dims=ntn.bond_dims)
+    k = len(sliced)
+    field = make_field(np.complex64, "highest", "split")
+    steps, host_arrays = precompute_static_steps(
+        steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
+    staged = jax.device_put(stage_tensors(field, host_arrays))
+    marks = [(0, time.time())]
+    progress = lambda done, total: marks.append((done, time.time()))
+    acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
+                        apply_sparse_step, segment_steps=64,
+                        slice_batch=width, slice_ids=range(n_slices),
+                        progress=progress)
+    amps = np.asarray(acc[0]) + 1j * np.asarray(acc[1])  # forces the queue
+    t_end = time.time()
+    metric = "n53m20_sc24_s_per_slice"
+    if not np.isfinite(amps).all() or not np.abs(amps).sum() > 0:
+        print(json.dumps({"metric": metric, "value": -1.0, "unit": "s",
+                          "vs_baseline": 0.0, "error": "non-finite output"}))
+        sys.exit(1)
+    first_done, first_t = marks[1]
+    n_after = marks[-1][0] - first_done
+    per_slice = (t_end - first_t) / max(1, n_after)
+    base = TORCH_BASELINES_S.get(metric)
+    rec = {"metric": metric, "value": round(per_slice, 3), "unit": "s",
+           "vs_baseline": round(base / per_slice, 2) if base else 0.0}
+    print(json.dumps(rec))
+    print(f"# first {first_done}-slice batch (incl. segment compiles) "
+          f"{first_t - marks[0][1]:.0f}s; forced end-to-end over the "
+          f"remaining {n_after} slices", file=sys.stderr)
+    return rec
+
+
 def main():
     if not (os.path.exists(REF_CIRCUIT)
             and os.path.exists(_default_plan(N_BITSTRINGS))):
@@ -282,12 +349,27 @@ def main():
     from artensor_tpu.cache import enable_compile_cache
     enable_compile_cache(os.path.abspath(".jax_cache"))
 
-    if "--suite" in sys.argv:
-        bench_sparse(1000)
-        bench_sparse(10000)
-        bench_dense_blocks()
+    only = os.environ.get("BENCH_ONLY")
+    if "BENCH_NBITS" in os.environ and not only:
+        only = "custom"
+    if only:
+        if only == "1k":
+            bench_sparse(1000)
+        elif only == "10k":
+            bench_sparse(10000)
+        elif only == "dense":
+            bench_dense_blocks()
+        elif only == "n53":
+            bench_n53()
+        else:
+            bench_sparse(N_BITSTRINGS)
         return
-    bench_sparse(N_BITSTRINGS)
+    # default: the full BASELINE.md suite (one JSON line per config)
+    bench_sparse(1000)
+    bench_sparse(10000)
+    bench_dense_blocks()
+    if os.path.exists(N53_CIRCUIT):
+        bench_n53()
 
 
 if __name__ == "__main__":

@@ -804,3 +804,21 @@ def test_scheme_cache_roundtrip(tmp_path, monkeypatch):
     s3, _, bs3 = scc.cached_scheme_sparse(plan_path, ctree, bits3, 6)
     assert len(os.listdir(tmp_path / "sc")) == 2
     assert len(bs3) == len(set(bits3))
+
+
+def test_is_device_oom_classification():
+    """The segmented OOM retry must only trigger on genuine memory
+    exhaustion, not on any error whose text mentions 'memory' (round-4
+    advisor finding)."""
+    from jax.errors import JaxRuntimeError
+
+    from artensor_tpu.runtime.segmented import _is_device_oom
+
+    assert _is_device_oom(JaxRuntimeError(
+        "RESOURCE_EXHAUSTED: Out of memory allocating 16G"))
+    assert _is_device_oom(RuntimeError(
+        "remote compile failed: used 20.25G of 15.75G hbm"))
+    # unrelated errors that merely mention memory-ish words must re-raise
+    assert not _is_device_oom(ValueError(
+        "operand memory layout does not match the expected tiling"))
+    assert not _is_device_oom(TypeError("resource handle is not hashable"))

@@ -129,7 +129,9 @@ def test_mps_export_matches_state_vec():
 def test_abstract_tn_export():
     c = TensorNetworkCircuit(SMALL)
     tensor_bonds, bond_dims, final_qubits = c.to_abstract_tn()
-    assert len(tensor_bonds) == 4 + 10  # 4 init states + 10 gates
+    # 4 init states + 10 gates + 3 identity wire-end caps (qubits 1-3 end
+    # on multi-qubit gates; each output leg gets its own rank-2 tensor)
+    assert len(tensor_bonds) == 4 + 10 + 3
     assert all(d == 2.0 for d in bond_dims.values())
     assert len(final_qubits) == 4
     # wire labels: every gate's out/in legs are well-formed
@@ -240,6 +242,130 @@ CIRCUIT = cirq.Circuit([
     psi = ap2(iswap_half, 1, 2); psi = ap1(T, 0)
     psi = ap1(phx, 0); psi = ap1(ry(0.3), 1); psi = ap1(zpow(0.6), 2)
     assert np.abs(got - psi.reshape(-1)).max() < 1e-12
+
+
+def test_pow_u_degenerate_spectrum():
+    """Matrix powers of DEGENERATE-spectrum unitaries must stay unitary:
+    np.linalg.eig's eigenvectors are not orthonormal within a degenerate
+    eigenspace, so the conj-transpose reconstruction silently produced a
+    wrong, non-unitary power (round-4 advisor finding).  Build a random
+    unitary with a repeated eigenvalue and check P = U^t is unitary and
+    P^(1/t) reproduces U."""
+    from artensor_tpu.circuits.cirq_compat import _pow_u
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    Q, _ = np.linalg.qr(A)
+    # repeated eigenvalue 1j (degenerate 2-dim eigenspace)
+    U = Q @ np.diag([1j, 1j, np.exp(0.3j), np.exp(-0.9j)]) @ np.conj(Q.T)
+    P = _pow_u(U, 0.5)
+    assert np.abs(P @ np.conj(P.T) - np.eye(4)).max() < 1e-10
+    assert np.abs(P @ P - U).max() < 1e-10
+    # CZ is itself degenerate ({1,1,1,-1}); its half power must square back
+    CZ = np.diag([1.0, 1.0, 1.0, -1.0]).astype(complex)
+    R = _pow_u(CZ, 0.5)
+    assert np.abs(R @ R - CZ).max() < 1e-12
+
+
+class _FakeQubit:
+    """Duck-typed cirq.GridQubit."""
+
+    def __init__(self, r, c):
+        self.key = (r, c)
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, o):
+        return self.key == o.key
+
+    def __lt__(self, o):
+        return self.key < o.key
+
+
+class _FakeGate:
+    def __init__(self, U):
+        self._U = np.asarray(U, complex)
+
+    def _unitary_(self):
+        return self._U
+
+    def on(self, *qubits):
+        return _FakeOp(self, qubits)
+
+
+class _FakeOp:
+    def __init__(self, gate, qubits):
+        self.gate = gate
+        self.qubits = tuple(qubits)
+
+
+class _FakeCircuit:
+    """Duck-typed cirq.Circuit: iterating yields moments (op lists)."""
+
+    def __init__(self, moments):
+        self._moments = moments
+
+    def __iter__(self):
+        return iter(self._moments)
+
+    def all_qubits(self):
+        return {q for m in self._moments for op in m for q in op.qubits}
+
+
+def test_from_cirq_live_circuit():
+    """VERDICT r4 item 7: an in-memory cirq-shaped circuit converts via the
+    _unitary_ protocol (exactly what cirq.unitary consults) and simulates to
+    the same state as direct dense matrix application."""
+    from artensor_tpu.circuits import from_cirq
+
+    rng = np.random.default_rng(3)
+
+    def _rand_u(n):
+        A = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+        Q, _ = np.linalg.qr(A)
+        return Q
+
+    q = [_FakeQubit(0, 0), _FakeQubit(0, 1), _FakeQubit(1, 0)]
+    H = np.array([[1, 1], [1, -1]], complex) / np.sqrt(2)
+    U1, U2 = _rand_u(2), _rand_u(4)
+    circ = _FakeCircuit([
+        [_FakeGate(H).on(q[0]), _FakeGate(U1).on(q[2])],
+        [_FakeGate(U2).on(q[0], q[1])],
+        [_FakeGate(U2).on(q[1], q[2])],
+    ])
+    n, layers = from_cirq(circ)
+    assert n == 3 and len(layers) == 3
+    assert all(name == "__matrix__" for layer in layers
+               for name, _, _ in layer)
+    got = TensorNetworkCircuit((n, layers)).state_vec().reshape(-1)
+
+    psi = np.zeros(8, complex)
+    psi[0] = 1.0
+    psi = psi.reshape(2, 2, 2)
+
+    def ap1(U, a):
+        return np.moveaxis(np.tensordot(U, psi, axes=([1], [a])), 0, a)
+
+    def ap2(U, a, b):
+        return np.moveaxis(np.tensordot(U.reshape(2, 2, 2, 2), psi,
+                                        axes=([2, 3], [a, b])),
+                           [0, 1], [a, b])
+
+    psi = ap1(H, 0); psi = ap1(U1, 2)
+    psi = ap2(U2, 0, 1); psi = ap2(U2, 1, 2)
+    assert np.abs(got - psi.reshape(-1)).max() < 1e-12
+
+
+def test_from_cirq_rejects_measurement():
+    from artensor_tpu.circuits import from_cirq
+
+    class _NoU:
+        gate = None
+        qubits = (_FakeQubit(0, 0),)
+
+    with pytest.raises(ValueError, match="no unitary"):
+        from_cirq(_FakeCircuit([[_NoU()]]))
 
 
 def test_einsum_eq_convert_parity():
