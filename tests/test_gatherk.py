@@ -712,6 +712,74 @@ def test_rgblk_natural_selection():
     assert plan.est_s >= plan.blk.est_s
 
 
+def test_rgblk_superblock_g():
+    """Round-5 super-block packing: at the 1k hot-step shape class (long
+    K, tiny F/H, short runs) the (R, G) search picks G > 1 — G run-blocks
+    packed along BOTH dot dims, off-diagonal cross products discarded by
+    the compaction gathers — and the result still matches the oracle."""
+    rd_i, rd_j = (8, 256), (256, 2)       # F=8, K=256, H=2
+    rx_i, rx_j = ("f", "k"), ("k", "h")
+    p = _ggk_oracle(rx_i, rx_j, ("h", "f"), rd_i, rd_j,
+                    B=96, bi=24, bj=11, sort_gi=True, force_blk=True,
+                    seed=41)
+    assert p.blk is not None
+    assert p.blk.G > 1, (p.blk.R, p.blk.G)
+    assert p.blk.n_super == -(-p.blk.nb // p.blk.G)
+    # and slice-vmapped (the executor's real mode)
+    _ggk_oracle(rx_i, rx_j, ("h", "f"), rd_i, rd_j,
+                B=96, bi=24, bj=11, sort_gi=True, force_blk=True,
+                width=2, seed=42)
+
+
+def test_rescreen_rg_blocks():
+    """The width-dependent blk-vs-row re-decision (round-4 advisor
+    finding): a blocked form admitted at the plan-time assumed width is
+    dropped when the actual run width makes its padded-W footprint
+    exceed the HBM screen — and restored when re-screened narrow."""
+    from dataclasses import dataclass, replace
+
+    from artensor_tpu.runtime.gatherk import (
+        GGKPlan, RGRow, plan_ggk_step, rescreen_rg_blocks)
+
+    rng = np.random.default_rng(9)
+    B, bi, bj = 4096, 16, 512
+    gi = np.sort(rng.integers(0, bi, B)).astype(np.int32)
+    gj = rng.integers(0, bj, B).astype(np.int32)
+    old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
+    gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
+    try:
+        plan = plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
+                             (1024, 8), (1024, 2), gi, gj, bi, bj)
+    finally:
+        gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
+
+    assert plan is not None and plan.blk is not None
+    assert plan.row_est_s is not None
+
+    @dataclass
+    class Step:
+        lane: object
+        i: int = 0
+        j: int = 1
+
+    # a width so large the padded-W screen must reject every (R, G)
+    steps = [Step(lane=plan)]
+    huge = 1 << 20
+    assert rescreen_rg_blocks(steps, huge) == 1
+    assert steps[0].lane.blk is None
+    # est fell back to the row form + the shared relayout part
+    shared = plan.est_s - plan.blk.est_s
+    assert abs(steps[0].lane.est_s - (plan.row_est_s + shared)) < 1e-12
+    # re-screen at the plan-time width: the blocked form comes back
+    assert rescreen_rg_blocks(steps, gk.GGK_WIDTH_ASSUME) == 1
+    assert steps[0].lane.blk is not None
+    assert steps[0].lane.blk.R == plan.blk.R
+    assert steps[0].lane.blk.G == plan.blk.G
+    assert abs(steps[0].lane.est_s - plan.est_s) < 1e-12
+    # idempotent: same width again changes nothing
+    assert rescreen_rg_blocks(steps, gk.GGK_WIDTH_ASSUME) == 0
+
+
 def test_ggk_rejections():
     from artensor_tpu.runtime.gatherk import plan_ggk_step
 
