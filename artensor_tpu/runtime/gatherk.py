@@ -619,12 +619,6 @@ class GGKPlan:
     dims_y: tuple        # logical output dims incl. the leading batch
     flops: int
     est_s: float
-    blk: object = None   # RGBlk run-block metadata (MXU form), or None
-    row_est_s: float = None  # the ROW form's form-specific est (traffic/
-                         # kernel max + program overhead, excl. the shared
-                         # wk/pre relayouts) — kept so rescreen_rg_blocks
-                         # can re-decide blk-vs-row at the ACTUAL width
-
     @property
     def w_is_j(self):
         return self.row.w_is_j
@@ -634,9 +628,6 @@ class GGKPlan:
         return None
 
 
-RG_VPU_EFF = 0.25        # measured VPU efficiency of the reduction row
-                         # (lane-reduction tree overhead; round-4 chip
-                         # profile of the 10k aligned hot step)
 RG_ROW_CAP = 1 << 15     # max row elements of the reduction form
 RG_H_CAP = 8             # unrolled fresh-leg loop bound
 RG_K_MIN = 128           # min contract run (lanes) — below this the
@@ -765,12 +756,15 @@ def plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j):
     for l in contract:
         idx += k_vals[l][None, :] * w_strides[l]
     flops = 4 * 2 * H * xrow
-    # pad-free by construction, but the lane-axis .sum() lowers to a
-    # rotate-add reduction tree the flops model can't see: the 10k hot
-    # step (F=8, K=2048, H=2) measured 9.9 ms/slice of compute against
-    # a 2.6 ms peak-VPU model (docs/BENCH_NOTES.md round 4) — charge
-    # the measured efficiency
-    est_s = flops / (VPU_FLOPS_PER_S * RG_VPU_EFF)
+    # peak-VPU charge.  Round 4 penalized this 4x ("25% VPU efficiency",
+    # from the sc22_r2@10k junction where the batch-scaled W traffic —
+    # charged separately in plan_ggk_step — was the real cost); the
+    # round-5 op-level trace of the 1k hot junction (B=1000, F=8,
+    # K=2048, H=2 at width 64) measured the row kernel at 0.11 ms/slice
+    # ~= its 0.15 ms traffic bound, i.e. AT peak: the penalty made the
+    # row est 10x pessimistic and let measured-slower MXU block forms
+    # win the form choice (docs/BENCH_NOTES.md round 5).
+    est_s = flops / VPU_FLOPS_PER_S
     dims_y = tuple(dim_of[l] for l in riy)
     wpos = {l: k for k, l in enumerate(ix_w)}
     return RGRow(view_x, H, K, idx.astype(np.int32), hy_first, dims_y,
@@ -782,130 +776,6 @@ def plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j):
                  tuple(wpos[l] for l in list(h_order) + list(contract)))
 
 
-@dataclass(frozen=True)
-class RGBlk:
-    """Run-blocked MXU form of a reduction row: after the compiler's
-    lexsort the big-side gather index repeats in ADJACENT RUNS, so R
-    rows sharing one X row execute as a single (2F, K) x (K, R*H) dot —
-    re/im stacked along M (the F padding absorbs the doubling for free)
-    instead of R bandwidth-bound VPU programs.  Runs pad to a multiple
-    of R (pad rows read W row 0 and are dropped by the final compaction
-    gathers).
-
-    Round 5: G run-blocks additionally pack along M into one SUPER-BLOCK
-    dot (G*2F, K) x (K, G*R*H).  The off-diagonal g-blocks of the result
-    are cross products nobody wants — but they fill MXU lanes that were
-    PADDING before (at the 1k hot shape F=8, H=2, R=8 the plain block
-    form fills 16/128 of M and N, 1.6% of the array), so the trash
-    compute is free and the useful-cycle count drops ~G^2-fold until
-    M,N reach 128.  Diagonal extraction rides the existing compaction
-    gather (4 takes: P/Q x re/im-row).  Executes as plain XLA ops
-    (take + batched dot_general), no pallas.  Measured motivation: the
-    1k hot step (B=1000, 251 distinct X rows, runs ~4) modeled ~1.1
-    ms/slice at G=1 vs a 0.15 ms traffic bound — 7x, all MXU padding."""
-
-    R: int               # rows per block
-    nb: int              # real blocks (before padding to a G multiple)
-    gi_blk: object       # (nsb*G,) int32 X row of each block (pads -> 0)
-    gj_pad: object       # (nsb*G*R,) int32 W row per padded slot (pads -> 0)
-    y_re: object         # (B*yrow,) int32 into flat (nsb, G*2F, G*R*H):
-                         # the re-row element of each target output
-    y_im: object         # same, im row (f + F)
-    F: int               # free elements of the row (1 when none)
-    est_s: float
-    G: int = 1           # run-blocks per super-block (M-packing)
-    nsb: int = 0         # super-blocks (= ceil(nb / G)); 0 = legacy nb
-
-    @property
-    def n_super(self):
-        return self.nsb or self.nb
-
-
-def _plan_rg_block(row, gx, gw, B, bj_rows, width_assume=None):
-    """RGBlk variant of a planned RGRow given the (sorted) gather
-    arrays, or None when no (R, G) wins.  Cost model: batched dot
-    cycles (2 dots: P and Q) + take traffic for the padded W gather +
-    the P/Q intermediate (written by the dots, read by the compaction
-    gathers — grows with G^2, which is what bounds G beyond lane
-    filling).  The padded-W take is a slice-VARYING temp in the worst
-    case, so (R, G) values whose footprint would collapse the scheme's
-    slice-vmap width are excluded; ``width_assume`` is the width used
-    for that screen (default GGK_WIDTH_ASSUME — re-screened at the
-    ACTUAL width by rescreen_rg_blocks once the executor picks one,
-    closing the round-4 advisor finding)."""
-    from ..planner.cost import HBM_BUDGET_BYTES
-
-    wa = GGK_WIDTH_ASSUME if width_assume is None else width_assume
-    F = row.view_x[0] if len(row.view_x) == 2 else 1
-    K, H = row.K, row.H
-    bnd = np.flatnonzero(np.r_[True, gx[1:] != gx[:-1]])
-    lens = np.diff(np.r_[bnd, len(gx)])
-    t = lambda n: -(-n // 128)
-    xrow, wrow, yrow = F * K, H * K, H * F
-    unit = 4.0 * 2
-    best = None
-    for R in (4, 8, 16, 32, 64, 128):
-        if R * H > 2048:
-            break
-        nb = int(np.sum(-(-lens // R)))
-        Bp = nb * R
-        if unit * Bp * wrow * wa > 0.25 * HBM_BUDGET_BYTES:
-            continue
-        for G in (1, 2, 4, 8, 16, 32, 64):
-            if G > 1 and (G * 2 * F > 512 or G * R * H > 512):
-                break
-            nsb = -(-nb // G)
-            mxu_s = nsb * t(G * 2 * F) * t(K) * t(G * R * H) * 128 * 2 \
-                / MXU_CLOCK_HZ
-            # pair-unit element counts (unit covers the re/im pair):
-            #   X takes: nsb*G padded block rows, 3 passes
-            #   W take:  nsb*G*R padded rows, 3 passes (+ source read)
-            #   P+Q:     written by the dots, read by the 4 compaction
-            #            takes -> 2 passes over nsb*(G*2F)*(G*R*H)/2*2
-            pq = nsb * (G * 2 * F) * (G * R * H)
-            traffic_s = unit * (3 * nsb * G * xrow
-                                + 3 * nsb * G * R * wrow
-                                + 3 * bj_rows * wrow
-                                + 2 * pq + 2 * B * yrow) / HBM_BYTES_PER_S
-            est = max(mxu_s, traffic_s)
-            if best is None or est < best[1]:
-                best = (R, est, nb, G, nsb)
-    if best is None:
-        return None
-    R, est, nb, G, nsb = best
-    nblk_of_run = -(-lens // R)
-    # padded slot of each target: runs start at block boundaries
-    off = np.zeros(len(lens) + 1, dtype=np.int64)
-    off[1:] = np.cumsum(nblk_of_run * R)
-    pos_in_run = np.arange(B, dtype=np.int64) - np.repeat(bnd, lens)
-    slot = np.repeat(off[:-1], lens) + pos_in_run
-    blk_of = slot // R
-    r_of = slot % R
-    gi_blk = np.zeros(nsb * G, dtype=np.int32)
-    gi_blk[:nb] = np.repeat(gx[bnd], nblk_of_run).astype(np.int32)
-    gj_pad = np.zeros(nsb * G * R, dtype=np.int32)
-    gj_pad[slot] = gw
-    # compaction gathers into flat P/Q (nsb, G*2F, G*R*H): target b sits
-    # in super-block s = blk//G, g-slot g = blk%G, n = (g*R + r)*H + h;
-    # its re rows are m = g*2F + f, im rows m + F.  The (H, F) vs (F, H)
-    # orientation follows the row's hy_first exactly as _rg_view_y does
-    # (degenerate axes collapse identically either way).
-    s_of = blk_of // G
-    g_of = blk_of % G
-    h_ar = np.arange(H, dtype=np.int64)
-    f_ar = np.arange(F, dtype=np.int64)
-    M, N = G * 2 * F, G * R * H
-    ncol = (g_of * R + r_of)[:, None, None] * H + h_ar[None, :, None]
-    base = s_of[:, None, None] * (M * N) + ncol
-    mre = (g_of[:, None, None] * 2 * F + f_ar[None, None, :])  # (B, 1, F)
-    src_re = base + mre * N                                    # (B, H, F)
-    src_im = base + (mre + F) * N
-    if not row.hy_first:
-        src_re = src_re.transpose(0, 2, 1)
-        src_im = src_im.transpose(0, 2, 1)
-    return RGBlk(R, nb, gi_blk, gj_pad,
-                 src_re.reshape(-1).astype(np.int32),
-                 src_im.reshape(-1).astype(np.int32), F, est, G, nsb)
 
 
 def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
@@ -977,19 +847,8 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
     traffic_s = unit * (fetch_x * xrow + runs_w * wrow + B * yrow) \
         / HBM_BYTES_PER_S
     pre_s = unit * pre_elems / HBM_BYTES_PER_S
-    row_base_s = max(traffic_s, B * row.est_s) \
+    base_s = max(traffic_s, B * row.est_s) \
         + B * PROGRAM_OVERHEAD_S / GGK_WIDTH_ASSUME
-    base_s = row_base_s
-    blk = None
-    if isinstance(row, RGRow):
-        blk = _plan_rg_block(row, gx_, gw_, B,
-                             bj_rows if big_is_i else bi_rows)
-        # both forms pay the wk take and the canonical pre-reorder —
-        # compare on the form-specific part only
-        if blk is not None and blk.est_s < base_s:
-            base_s = blk.est_s
-        else:
-            blk = None
     est_s = base_s + wk_s + pre_s
     # the XLA alternative: gathered-batch dot + 2 take passes per operand.
     # The batch-diagonal dot pads every per-row (F, K) x (K, H) problem
@@ -1013,43 +872,7 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
     return GGKPlan(row, gx, gw, B,
                    bi_rows if big_is_i else bj_rows,
                    bj_rows if big_is_i else bi_rows,
-                   (B, *row.dims_y), flops, est_s, blk, row_base_s)
-
-
-def rescreen_rg_blocks(steps, width):
-    """Re-decide the blk-vs-row choice of every GGK reduction step at the
-    ACTUAL slice-vmap width the executor will run (round-4 advisor
-    finding: _plan_rg_block screened the padded-W footprint against the
-    fixed GGK_WIDTH_ASSUME=32, but the width chooser may pick up to 128 —
-    the blocked form could win the estimate at 4x the screened footprint
-    and then clamp the whole scheme's width).  Replaces entries of the
-    ``steps`` list in place (steps are frozen — dataclasses.replace,
-    like prune_lane_plans); returns the number changed."""
-    from dataclasses import replace
-
-    changed = 0
-    for k, s in enumerate(steps):
-        lane = getattr(s, "lane", None)
-        if not isinstance(lane, GGKPlan) or not isinstance(lane.row, RGRow):
-            continue
-        if lane.row_est_s is None:     # legacy plan (no re-decision data)
-            continue
-        blk2 = _plan_rg_block(lane.row, np.asarray(lane.gi),
-                              np.asarray(lane.gj), lane.B, lane.bj_rows,
-                              width_assume=width)
-        if blk2 is not None and blk2.est_s >= lane.row_est_s:
-            blk2 = None
-        old = lane.blk
-        if (old is None) == (blk2 is None) and (
-                old is None or (old.R == blk2.R and old.G == blk2.G)):
-            continue
-        old_base = old.est_s if old is not None else lane.row_est_s
-        shared = lane.est_s - old_base        # wk take + pre-reorder
-        new_base = blk2.est_s if blk2 is not None else lane.row_est_s
-        steps[k] = replace(s, lane=replace(
-            lane, blk=blk2, est_s=new_base + shared))
-        changed += 1
-    return changed
+                   (B, *row.dims_y), flops, est_s)
 
 
 def _ggk_specs(plan, width, n_chunks=1, w_batched=True):
@@ -1378,62 +1201,6 @@ def ggk_window_bytes(plan, width, w_batched=True):
                         + _padded_elems(yw))
 
 
-def _apply_rg_block(field, xv, wv, plan, precision):
-    """Run-blocked MXU execution of an aligned reduction step (RGBlk):
-    pure XLA — padded-W take + batched super-block dot_general
-    (G*2F, K) x (K, G*R*H) with re/im stacked along M and G run-blocks
-    packed along BOTH output dims (off-diagonal g-blocks are discarded
-    by the compaction gathers — they fill otherwise-padded MXU lanes),
-    then four takes extract each target's re/im rows.  All ops vmap
-    natively, so the slice width needs no custom rule; an unbatched
-    (slice-invariant) operand broadcasts for free."""
-    import jax.numpy as jnp
-    from jax import lax
-
-    from .lowering import physical_shape
-
-    row, blk = plan.row, plan.blk
-    F, K, H, R, G = blk.F, row.K, row.H, blk.R, blk.G
-    nsb = blk.n_super
-    idx_flat = jnp.asarray(row.wk_idx.reshape(-1))
-    gj_pad = jnp.asarray(blk.gj_pad)
-
-    wk_ident = bool(np.array_equal(row.wk_idx.ravel(),
-                                   np.arange(row.wk_idx.size)))
-
-    def prep_w(w):
-        # stored rows -> (Bj, H, K) in X's contract order (free when the
-        # producer emits that order; a digit TRANSPOSE otherwise, never a
-        # gather) -> padded per-slot rows (nsb, G*R*H, K)
-        if wk_ident:
-            whk = w.reshape(plan.bj_rows, -1)
-        elif row.w_dims is not None:
-            whk = _wk_transpose(w, (), plan.bj_rows, row, (H * K,))
-        else:
-            whk = jnp.take(w.reshape(plan.bj_rows, -1), idx_flat, axis=1)
-        return jnp.take(whk.reshape(plan.bj_rows, H * K), gj_pad,
-                        axis=0).reshape(nsb, G * R * H, K)
-
-    wrp, wip = prep_w(wv[0]), prep_w(wv[1])
-    gi_blk = jnp.asarray(blk.gi_blk)
-    xr = jnp.take(xv[0].reshape(plan.bi_rows, F, K), gi_blk, axis=0)
-    xi = jnp.take(xv[1].reshape(plan.bi_rows, F, K), gi_blk, axis=0)
-    # per-block rows [re(F); im(F)], G blocks stacked along M
-    xs = jnp.concatenate([xr, xi], axis=1) \
-        .reshape(nsb, G * 2 * F, K)
-    dn = (((2,), (2,)), ((0,), (0,)))
-    dot = partial(lax.dot_general, dimension_numbers=dn,
-                  precision=precision or lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
-    P = dot(xs, wrp).reshape(-1)            # (nsb, G*2F, G*R*H) flat
-    Q = dot(xs, wip).reshape(-1)
-    yre = jnp.asarray(blk.y_re)
-    yim = jnp.asarray(blk.y_im)
-    yr = jnp.take(P, yre) - jnp.take(Q, yim)
-    yi = jnp.take(Q, yre) + jnp.take(P, yim)
-    return field.reshape((yr, yi), physical_shape(plan.dims_y))
-
-
 def apply_ggk_step(field, x, y, plan, interpret=None):
     """Execute one aligned step via the GGK kernel (traceable).  Under
     jax.vmap the slice width folds into a leading BLOCK dim (one DMA of
@@ -1458,8 +1225,6 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
                          (0,) + tuple(p + 1 for p in row.pre_perm),
                          (plan.bi_rows * _prod(row.row_dims),))
         xv = apply_reorder(field, xv, r)
-    if plan.blk is not None:
-        return _apply_rg_block(field, xv, wv, plan, precision)
     idx_flat = jnp.asarray(plan.row.wk_idx.reshape(-1))
     # the wk take disappears when the producer already emits W rows in
     # the canonical (H, K-in-X-contract-digit) order — the negotiation

@@ -182,31 +182,6 @@ def _peak_timeline(steps, slicing_axes=None, bytes_per_elem=4.0,
                 extra_d += wk
             else:
                 extra_s += wk
-            blk = getattr(lane, "blk", None)
-            if blk is not None:
-                # run-blocked XLA form — charge _apply_rg_block's REAL
-                # live set (round-4 advisor finding: the old charge
-                # double-counted the re/im-stacked xs under the pair
-                # unit).  In pair units (the unit covers re+im):
-                #   padded-W take   wrp+wip  = nsb*G*R * H*K
-                #   gathered X      xr+xi    = nsb*G   * F*K   (+ the xs
-                #                   concat copy: same size again)
-                #   dot outputs     P+Q      = nsb * G*2F * G*R*H
-                # all of which coexist at the dot; the compaction outputs
-                # (= `out`) are charged below as the output-copy term.
-                G = getattr(blk, "G", 1)
-                nsb = getattr(blk, "nsb", 0) or blk.nb
-                wp = nsb * G * blk.R * row.H * row.K
-                xg = 2 * nsb * G * blk.F * row.K
-                pq = nsb * (G * 2 * blk.F) * (G * blk.R * row.H)
-                if is_dyn(w_id):
-                    extra_d += wp
-                else:
-                    extra_s += wp
-                if is_dyn(s.i) or is_dyn(s.j):
-                    extra_d += xg + pq
-                else:
-                    extra_s += xg + pq
             extra_d += out        # pallas-output relayout copy
             if getattr(row, "pre_perm", None) is not None:
                 x_id = s.i if row.w_is_j else s.j
@@ -411,33 +386,20 @@ def max_safe_slice_batch(steps, requested, hbm_budget_bytes=None,
 
 def choose_slice_width(steps, k_sliced, slicing_axes=None, cap=128,
                        hbm_budget_bytes=None):
-    """Pick the slice-vmap width AND finalize the width-dependent kernel
-    form choices, to a fixed point.
+    """The library's slice-vmap width choice: the calibrated wall
+    estimate's width (exact at-width HBM peak — dynamic live sets
+    replicate per instance, slice-invariant buffers are shared), capped.
 
-    The GGK blk-vs-row decision screens the blocked form's padded-W
-    footprint against an ASSUMED width at plan time (round-4 advisor
-    finding: the executor may run 4x wider, letting a blocked form win
-    the estimate at a footprint that then clamps the whole scheme's
-    width — the exact regression _plan_rg_block's docstring cites).
-    Here the estimator's width choice and the form choice are iterated
-    until neither moves: pick the width from the at-width HBM peak,
-    re-decide every reduction step's form at that width
-    (gatherk.rescreen_rg_blocks, mutating ``steps`` in place), repeat.
-    Widths are powers of two <= cap, so this terminates."""
-    from .gatherk import rescreen_rg_blocks
-
-    width = None
-    for _ in range(8):
-        _, w_est, _ = scheme_wall_estimate(
-            steps, k_sliced, slicing_axes=slicing_axes,
-            hbm_budget_bytes=hbm_budget_bytes)
-        w = max(1, min(cap, w_est))
-        if w == width:
-            break
-        width = w
-        if not rescreen_rg_blocks(steps, width):
-            break
-    return width
+    No kernel-form re-decision is needed at the chosen width: the
+    round-4 advisor's width-screen regression class died with the RGBlk
+    form that created it (its padded-W take was the only width-scaled
+    gather temp; the form measured slower than the RGRow kernel it
+    replaced in every committed config and was removed — BENCH_NOTES
+    round 5)."""
+    _, w_est, _ = scheme_wall_estimate(
+        steps, k_sliced, slicing_axes=slicing_axes,
+        hbm_budget_bytes=hbm_budget_bytes)
+    return max(1, min(cap, w_est))
 
 
 def reorder_census(steps):

@@ -137,11 +137,7 @@ def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
     total = 2 ** num_sliced if num_sliced else 1
     ids = list(range(total)) if slice_ids is None else list(slice_ids)
     if audit_width and slice_batch > 1:
-        from .gatherk import rescreen_rg_blocks
         from .metrics import max_safe_slice_batch
-        # the blk-vs-row form choice screens its footprint at an ASSUMED
-        # width — re-decide at the width we're about to run, then audit
-        rescreen_rg_blocks(steps, slice_batch)
         safe = max_safe_slice_batch(steps, slice_batch,
                                     slicing_axes=slicing_axes)
         if safe < slice_batch:
@@ -149,7 +145,6 @@ def run_segmented(tensors, steps, slicing_axes, num_sliced, output_shape,
                 "segmented slice_batch %d exceeds the temp-aware HBM "
                 "audit; clamping to %d", slice_batch, safe)
             slice_batch = safe
-            rescreen_rg_blocks(steps, slice_batch)
 
     def attempt(W):
         run_once, _ = make_segmented_executor(steps, apply_step, field,

@@ -231,11 +231,6 @@ class TensorNetworkSimulation:
         run_steps, host_arrays = ex.precompute_static_steps(
             self.steps, [self.tensors[i] for i in range(len(self.tensors))],
             self.slicing_axes)
-        if slice_batch > 1:
-            # width-dependent kernel-form choices are screened at an
-            # assumed width at plan time; re-decide at the actual one
-            from .runtime.gatherk import rescreen_rg_blocks
-            rescreen_rg_blocks(run_steps, slice_batch)
         arrays = ex.stage_tensors(field, host_arrays)
         k = len(self.slicing_bonds)
         if self.pattern == "normal":

@@ -150,13 +150,10 @@ def bench_sparse(n_bits, plan=None, repeats=REPEATS):
     width_env = os.environ.get("BENCH_WIDTH")
     if width_env is not None:
         width = int(width_env)     # explicit override: trust the caller
-        from artensor_tpu.runtime.gatherk import rescreen_rg_blocks
-        rescreen_rg_blocks(steps, width)   # form choice at the run width
     else:
         # the library's automatic choice: calibrated wall estimate +
         # exact at-width HBM peak (dynamic live sets replicate per
-        # instance, slice-invariant buffers are shared), iterated with
-        # the width-dependent kernel-form re-decision to a fixed point
+        # instance, slice-invariant buffers are shared)
         from artensor_tpu.runtime.metrics import choose_slice_width
         width = choose_slice_width(steps, k, slicing_axes=axes)
     while (2 ** k) % width:        # largest dividing power of two

@@ -520,8 +520,7 @@ def test_headline_scheme_kernel_steps_oracle():
 # -- gathered gather-K (aligned steps) --------------------------------------
 
 def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0,
-                w_unbatched=False, vmem_budget=None, sort_gi=False,
-                force_blk=False):
+                w_unbatched=False, vmem_budget=None, sort_gi=False):
     """Build an aligned-step instance, run the GGK kernel (interpret) and
     check against the take+einsum reference.
 
@@ -529,8 +528,7 @@ def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0,
     slice-invariant small-operand fast path).  ``vmem_budget``: shrink
     GK_VMEM_BUDGET so the call walks width chunks via the leading grid
     axis.  ``sort_gi``: lexsort the gathers gi-major (the compiler's
-    run-grouping order).  ``force_blk``: attach run-block (RGBlk)
-    metadata regardless of the est choice, exercising the MXU form."""
+    run-grouping order)."""
     from artensor_tpu.runtime.gatherk import apply_ggk_step, plan_ggk_step
 
     rng = np.random.default_rng(seed)
@@ -546,12 +544,6 @@ def _ggk_oracle(rx_i, rx_j, riy, rd_i, rd_j, B, bi, bj, width=0, seed=0,
     finally:
         gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
     assert plan is not None, gk.LAST_REJECT
-    if force_blk and plan.blk is None:
-        from dataclasses import replace
-        blk = gk._plan_rg_block(plan.row, np.asarray(plan.gi),
-                                np.asarray(plan.gj), plan.B, plan.bj_rows)
-        assert blk is not None
-        plan = replace(plan, blk=blk)
     shp_i = (width, bi, *rd_i) if width else (bi, *rd_i)
     shp_j = (bj, *rd_j) if w_unbatched or not width \
         else (width, bj, *rd_j)
@@ -659,125 +651,6 @@ def test_ggk_chunked_grid():
                 ("h", "f0", "f1"),
                 (4, 2, 2, 16, 4), (2, 4, 16, 2), seed=24,
                 vmem_budget=20_000, w_unbatched=True, **common)
-
-
-def test_rgblk_forms():
-    """Run-blocked MXU form of reduction rows (RGBlk): forced on a
-    run-structured gather, all width/batching variants, both output
-    orientations and the no-free-leg row."""
-    rd_i, rd_j = (4, 2, 2, 16, 4), (2, 4, 16, 2)
-    rx_i, rx_j = ("k0", "k1", "f0", "k2", "f1"), ("k1", "k0", "k2", "h")
-    kw = dict(B=50, bi=5, bj=7, sort_gi=True, force_blk=True)
-    # hy_first output (fresh leads)
-    p = _ggk_oracle(rx_i, rx_j, ("h", "f0", "f1"), rd_i, rd_j, seed=31, **kw)
-    assert p.blk is not None
-    # frees lead the output
-    _ggk_oracle(rx_i, rx_j, ("f0", "f1", "h"), rd_i, rd_j, seed=32, **kw)
-    # slice-vmapped, W batched and unbatched
-    _ggk_oracle(rx_i, rx_j, ("h", "f0", "f1"), rd_i, rd_j, seed=33,
-                width=3, **kw)
-    _ggk_oracle(rx_i, rx_j, ("h", "f0", "f1"), rd_i, rd_j, seed=34,
-                width=2, w_unbatched=True, **kw)
-    # no fresh legs (H = 1): W is all-contract
-    _ggk_oracle(("k0", "f0", "k2", "f1"), ("k0", "k2"), ("f0", "f1"),
-                (16, 2, 16, 4), (16, 16), seed=35, **kw)
-    # no free legs (F = 1): output is the fresh block only
-    _ggk_oracle(("k0", "k2"), ("k0", "k2", "h"), ("h",),
-                (16, 16), (16, 16, 2), seed=36, **kw)
-
-
-def test_rgblk_natural_selection():
-    """At a 10k-like run structure (few distinct X rows, long runs) the
-    planner's est picks the blocked form on its own."""
-    from artensor_tpu.runtime.gatherk import plan_ggk_step
-
-    rng = np.random.default_rng(7)
-    B, bi, bj = 4096, 16, 512
-    gi = np.sort(rng.integers(0, bi, B)).astype(np.int32)
-    gj = rng.integers(0, bj, B).astype(np.int32)
-    old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
-    gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
-    try:
-        # K sized so the padded-W take footprint stays inside the
-        # planner's at-width HBM exclusion (which is itself tested via
-        # the est model, not here)
-        plan = plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
-                             (1024, 8), (1024, 2), gi, gj, bi, bj)
-    finally:
-        gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
-    assert plan is not None, gk.LAST_REJECT
-    assert plan.blk is not None
-    # est = blocked form + the shared serial relayouts (wk take; no
-    # pre-reorder here), strictly cheaper than the row form's est
-    assert plan.est_s >= plan.blk.est_s
-
-
-def test_rgblk_superblock_g():
-    """Round-5 super-block packing: at the 1k hot-step shape class (long
-    K, tiny F/H, short runs) the (R, G) search picks G > 1 — G run-blocks
-    packed along BOTH dot dims, off-diagonal cross products discarded by
-    the compaction gathers — and the result still matches the oracle."""
-    rd_i, rd_j = (8, 256), (256, 2)       # F=8, K=256, H=2
-    rx_i, rx_j = ("f", "k"), ("k", "h")
-    p = _ggk_oracle(rx_i, rx_j, ("h", "f"), rd_i, rd_j,
-                    B=96, bi=24, bj=11, sort_gi=True, force_blk=True,
-                    seed=41)
-    assert p.blk is not None
-    assert p.blk.G > 1, (p.blk.R, p.blk.G)
-    assert p.blk.n_super == -(-p.blk.nb // p.blk.G)
-    # and slice-vmapped (the executor's real mode)
-    _ggk_oracle(rx_i, rx_j, ("h", "f"), rd_i, rd_j,
-                B=96, bi=24, bj=11, sort_gi=True, force_blk=True,
-                width=2, seed=42)
-
-
-def test_rescreen_rg_blocks():
-    """The width-dependent blk-vs-row re-decision (round-4 advisor
-    finding): a blocked form admitted at the plan-time assumed width is
-    dropped when the actual run width makes its padded-W footprint
-    exceed the HBM screen — and restored when re-screened narrow."""
-    from dataclasses import dataclass, replace
-
-    from artensor_tpu.runtime.gatherk import (
-        GGKPlan, RGRow, plan_ggk_step, rescreen_rg_blocks)
-
-    rng = np.random.default_rng(9)
-    B, bi, bj = 4096, 16, 512
-    gi = np.sort(rng.integers(0, bi, B)).astype(np.int32)
-    gj = rng.integers(0, bj, B).astype(np.int32)
-    old_min, old_slack = gk.GGK_MIN_WORK, gk.SLACK
-    gk.GGK_MIN_WORK, gk.SLACK = 1, 1e9
-    try:
-        plan = plan_ggk_step(("k", "f"), ("k", "h"), ("h", "f"),
-                             (1024, 8), (1024, 2), gi, gj, bi, bj)
-    finally:
-        gk.GGK_MIN_WORK, gk.SLACK = old_min, old_slack
-
-    assert plan is not None and plan.blk is not None
-    assert plan.row_est_s is not None
-
-    @dataclass
-    class Step:
-        lane: object
-        i: int = 0
-        j: int = 1
-
-    # a width so large the padded-W screen must reject every (R, G)
-    steps = [Step(lane=plan)]
-    huge = 1 << 20
-    assert rescreen_rg_blocks(steps, huge) == 1
-    assert steps[0].lane.blk is None
-    # est fell back to the row form + the shared relayout part
-    shared = plan.est_s - plan.blk.est_s
-    assert abs(steps[0].lane.est_s - (plan.row_est_s + shared)) < 1e-12
-    # re-screen at the plan-time width: the blocked form comes back
-    assert rescreen_rg_blocks(steps, gk.GGK_WIDTH_ASSUME) == 1
-    assert steps[0].lane.blk is not None
-    assert steps[0].lane.blk.R == plan.blk.R
-    assert steps[0].lane.blk.G == plan.blk.G
-    assert abs(steps[0].lane.est_s - plan.est_s) < 1e-12
-    # idempotent: same width again changes nothing
-    assert rescreen_rg_blocks(steps, gk.GGK_WIDTH_ASSUME) == 0
 
 
 def test_ggk_rejections():
