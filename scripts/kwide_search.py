@@ -10,6 +10,10 @@ MXU width.  Candidates are re-scored by the CALIBRATED wall estimate
 not the ranking.  Best candidates are saved for chip A/B.
 
 Usage: python scripts/kwide_search.py [seeds=4] [iters=60]
+Env: KF="512,2048" (k_full grid), SC="21,22" (sc grid), TAG="r4"
+(plan filename suffix).  Round 5 locates the Pareto KNEE with
+KF="128,192,256,384" SC="21,22,23" (the round-4 sweep jumped from the
+k_full=128 baseline straight to 512/2048 — VERDICT r4 item 6).
 """
 
 import os
@@ -61,9 +65,13 @@ def main():
     ntn = NumericalTensorNetwork(tensors, tb, bd, fq)
     tb2, fq2 = ntn.simplify("sparse")
 
+    kf_grid = [int(v) for v in
+               os.environ.get("KF", "512,2048").split(",")]
+    sc_grid = [int(v) for v in os.environ.get("SC", "21,22").split(",")]
+    tag = os.environ.get("TAG", "r4")
     best = {}
-    for k_full in (512, 2048):
-        for sc in (21, 22):
+    for k_full in kf_grid:
+        for sc in sc_grid:
             for seed in range(n_seeds):
                 t0 = time.time()
                 order, sliced, ctree = find_order(
@@ -87,7 +95,7 @@ def main():
                     best[k_full] = (est, wide, ctree, sc)
     print("---- best per k_full:")
     for kf, (est, wide, ctree, sc) in sorted(best.items()):
-        path = f"plans/n30_m14_sparse_kf{kf}_sc{sc}_r4.json"
+        path = f"plans/n30_m14_sparse_kf{kf}_sc{sc}_{tag}.json"
         plan_io.save_plan(path, ctree,
                           meta={"rank": "wall-estimate", "k_full": kf,
                                 "est_s": round(est, 3),

@@ -4,7 +4,7 @@ Writes a jax profiler trace of the compiled sparse runner, then parses the
 perfetto trace.json.gz to aggregate device time by op category — the
 op-level truth about where the 2x-over-roofline goes.
 
-Usage: python scripts/profile_bench.py [plan] [width]
+Usage: python scripts/profile_bench.py [plan] [width] [nbits]
 """
 
 import glob
@@ -23,6 +23,7 @@ enable_compile_cache()
 
 PLAN = sys.argv[1] if len(sys.argv) > 1 else "plans/n30_m14_sparse_sc22.json"
 WIDTH = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+NBITS = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
 
 
 def main():
@@ -39,7 +40,7 @@ def main():
 
     with open("/root/reference/examples/"
               "amplitudes_n30_m14_s0_e0_pEFGH_10000.txt") as f:
-        bits = [ln.split()[0] for ln in f if ln.strip()][:1000]
+        bits = [ln.split()[0] for ln in f if ln.strip()][:NBITS]
     n, layers = load_cirq_circuit(
         "/root/reference/examples/circuit_n30_m14_s0_e0_pEFGH.py")
     circ = TensorNetworkCircuit((n, layers))
@@ -61,10 +62,19 @@ def main():
     run = jax.jit(make_sliced_runner(
         execute_sparse, steps, axes, k, (len(bs),), field,
         slice_batch=WIDTH))
-    r = run(staged)
-    _ = np.asarray(r[0][:1])  # warm (compile)
     tdir = "/tmp/gk_profile"
     os.system(f"rm -rf {tdir}")
+    os.makedirs(tdir, exist_ok=True)
+    compiled = run.lower(staged).compile()   # warm (compile)
+    try:
+        # the optimized module of THIS executable: op names align with
+        # the trace events, so times join to source lines (/tmp/attrib)
+        with open(os.path.join(tdir, "optimized.txt"), "w") as f:
+            f.write(compiled.as_text())
+    except Exception as e:  # pragma: no cover
+        print("# as_text failed:", e, file=sys.stderr)
+    r = compiled(staged)
+    _ = np.asarray(r[0][:1])
     with jax.profiler.trace(tdir):
         r = run(staged)
         _ = np.asarray(r[0][:1])
