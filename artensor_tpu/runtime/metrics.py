@@ -168,27 +168,68 @@ def _peak_timeline(steps, slicing_axes=None, bytes_per_elem=4.0,
             else:
                 extra_s += out
         elif lane is not None and hasattr(lane, "bj_rows"):
-            # GGK lane: the fused kernel removes the gathered-X copies,
-            # but the W-side pre-arrangement (one take per component)
-            # and, measured on the chip, an XLA relayout copy of the
-            # pallas output both materialize (sc22_r2 10k w32 OOM:
-            # 4.8G output + 4.8G copy + 2x2.4G takes on a 15.75G chip).
+            # GGK lane, TWO program points (the round-4 single point
+            # summed them, overcharging sc22_r2 @ w128 by 1.27x vs XLA's
+            # real buffer assignment — mem_analysis 12.45 GiB vs the
+            # 15.82 modeled, VERDICT r4 item 4):
+            #   A  kernel executes: inputs + W-side take (+ pre-reorder
+            #      X copy) + kernel output coexist;
+            #   B  the measured XLA relayout copy of the pallas output
+            #      (sc22_r2 10k w32 OOM: output + copy + takes) runs
+            #      AFTER the kernel, when both consumed operands and the
+            #      wk take are already dead — out + copy coexist with
+            #      the REMAINING live set only.
             # A SLICE-INVARIANT W (folded gate block) is gathered once
             # for the whole vmap width — width-shared.
             row = lane.row
             w_id = s.j if row.w_is_j else s.i
+            x_id = s.i if row.w_is_j else s.j
             wk = lane.bj_rows * row.H * row.K
             if is_dyn(w_id):
                 extra_d += wk
             else:
                 extra_s += wk
-            extra_d += out        # pallas-output relayout copy
+            ld = sum(v for t, v in live.items() if is_dyn(t))
+            ls = sum(v for t, v in live.items() if not is_dyn(t))
+            dead_d = sum(live.get(t, 0) for t in {s.i, s.j} if is_dyn(t))
+            dead_s = sum(live.get(t, 0) for t in {s.i, s.j}
+                         if not is_dyn(t))
             if getattr(row, "pre_perm", None) is not None:
-                x_id = s.i if row.w_is_j else s.j
+                # pre-reorder sub-phase: source X and its permuted copy
+                # coexist (no kernel buffers yet); the source dies
+                # before the kernel runs, so the kernel point below
+                # carries the copy at the source's ledger slot (same
+                # element count up to _rg_pad padding — charge the
+                # padded copy, drop the source).  The relayout point
+                # (B) then frees the COPY, not the source.
+                pre = lane.bi_rows * _prod(row.view_x)
+                src = live.get(x_id, 0)
                 if is_dyn(x_id):
-                    extra_d += lane.bi_rows * _prod(row.view_x)
+                    timeline.append((ld + pre, ls))
+                    ld += pre - src
+                    dead_d += pre - src
                 else:
-                    extra_s += lane.bi_rows * _prod(row.view_x)
+                    timeline.append((ld, ls + pre))
+                    ls += pre - src
+                    dead_s += pre - src
+            timeline.append((ld + (out if out_dyn else 0) + extra_d,
+                             ls + (0 if out_dyn else out) + extra_s))
+            timeline.append((ld - dead_d + 2 * (out if out_dyn else 0),
+                             ls - dead_s + 2 * (0 if out_dyn else out)))
+            live[s.i] = out
+            live[s.j] = 0
+            continue
+        elif lane is not None and getattr(lane, "pre", None) is not None:
+            # GK lane with an explicit pre-reorder: the permuted X copy
+            # coexists with the source during the transpose and with the
+            # kernel afterwards (the source may die, but XLA's fused
+            # copy chains keep both transiently — charge the copy)
+            x_id = s.i if getattr(lane, "w_is_j", True) else s.j
+            pre_elems = _prod(lane.pre.dims)
+            if is_dyn(x_id):
+                extra_d += pre_elems
+            else:
+                extra_s += pre_elems
         elif getattr(s, "post_select", None) is not None:
             if out_dyn:           # pre-selection output + selected copy
                 extra_d += out
@@ -361,6 +402,40 @@ def scheme_wall_estimate(steps, k_sliced,
         width *= 2
     total = n_slices * (per_slice + n_steps * overhead_w1 / width)
     return total, width, peak
+
+
+# Per-segment dispatch cost of segmented execution on the TUNNELED chip
+# (host builds + ships one program invocation per segment per batch).
+# Measured by the segment_steps=64-vs-128 A/B at width 2 on the n53 sc24
+# scheme (scripts/n53_segment_bench.py, docs/BENCH_NOTES.md round 5).
+SEGMENT_DISPATCH_S = 0.15
+
+
+def segmented_wall_estimate(steps, n_slices, width, segment_steps=64,
+                            dispatch_s=None):
+    """Forced end-to-end wall estimate for SEGMENTED execution: the
+    calibrated per-slice device cost (scheme_wall_components — same
+    model as the monolithic estimate) plus the per-segment dispatch
+    the segmented host loop pays on every batch.  The dispatch term is
+    what the monolithic estimate does not have — one XLA program has
+    zero inter-step dispatch; a segmented scheme pays ~SEGMENT_DISPATCH_S
+    per segment per batch over the tunnel.  ``steps`` must be the list
+    the executor actually walks (post static folding).  Returns
+    (total_seconds, per_slice_device_s, n_segments)."""
+    import math
+
+    from ..planner.cost import TPU_HBM_BYTES_PER_S
+
+    cal = load_calibration()
+    kern_s, xla_s, bytes_ps, n_steps = scheme_wall_components(steps)
+    per_slice = (cal["kern_factor"] * kern_s + cal["xla_factor"] * xla_s
+                 + cal["byte_factor"] * bytes_ps / TPU_HBM_BYTES_PER_S)
+    n_seg = math.ceil(n_steps / segment_steps)
+    d = SEGMENT_DISPATCH_S if dispatch_s is None else dispatch_s
+    width = max(1, width)
+    n_batches = math.ceil(n_slices / width)
+    total = n_batches * (width * per_slice + n_seg * d)
+    return total, per_slice, n_seg
 
 
 def max_safe_slice_batch(steps, requested, hbm_budget_bytes=None,

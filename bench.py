@@ -331,9 +331,17 @@ def bench_n53(n_slices=8, width=2):
     rec = {"metric": metric, "value": round(per_slice, 3), "unit": "s",
            "vs_baseline": round(base / per_slice, 2) if base else 0.0}
     print(json.dumps(rec))
+    from artensor_tpu.runtime.metrics import (
+        scheme_roofline_seconds, segmented_wall_estimate)
+    est, dev_ps, n_seg = segmented_wall_estimate(
+        steps, n_slices=n_slices, width=width)
+    roof = scheme_roofline_seconds(steps)
     print(f"# first {first_done}-slice batch (incl. segment compiles) "
           f"{first_t - marks[0][1]:.0f}s; forced end-to-end over the "
           f"remaining {n_after} slices", file=sys.stderr)
+    print(f"# est {est / n_slices:.3f} s/slice (device {dev_ps:.3f} + "
+          f"dispatch over {n_seg} segments); roofline {roof:.3f} s/slice "
+          f"-> {100 * roof / per_slice:.0f}% achieved", file=sys.stderr)
     return rec
 
 

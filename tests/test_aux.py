@@ -417,6 +417,66 @@ def test_segmented_slice_batch_and_sharded(sparse_scheme):
     assert np.abs(mono - field.unwrap(sharded)).max() < 1e-12
 
 
+def test_segmented_compile_probe_audits_xla_assignment(sparse_scheme):
+    """The AOT compile probe audits XLA's OWN buffer assignment per
+    segment (analytic models missed 12 GiB of n53 segment temps —
+    VERDICT r4 item 5): a budget below the width-4 XLA demand raises
+    SegmentAuditExceeded BEFORE any device work, and run_segmented with
+    a too-small budget still lands on a working width and reproduces
+    the monolithic result."""
+    from artensor_tpu.runtime.executor import slice_select
+    from artensor_tpu.runtime.segmented import (
+        SegmentAuditExceeded, apply_sparse_step, make_segmented_executor,
+        run_segmented)
+    from artensor_tpu.runtime.sparse import execute_sparse
+
+    ntn, steps, axes, k, bits_sorted, want = sparse_scheme
+    field = make_field(np.complex128, "highest", "split")
+    staged = stage_tensors(field,
+                           [ntn.tensors[i] for i in range(len(ntn.tensors))])
+    mono = field.unwrap(jax.jit(make_sliced_runner(
+        execute_sparse, steps, axes, k, (len(bits_sorted),), field))(staged))
+    # direct probe: XLA's assignment for any segment exceeds a 1-byte
+    # budget -> rejected at compile time, nothing executed
+    table = jax.eval_shape(
+        lambda ts, sids: jax.vmap(lambda s: slice_select(
+            ts, axes, s, k, field))(sids),
+        list(staged), np.zeros(4, dtype=np.int32))
+    with pytest.raises(SegmentAuditExceeded):
+        make_segmented_executor(steps, apply_sparse_step, field,
+                                segment_steps=9, vmapped=True,
+                                input_shapes=dict(enumerate(table)),
+                                hbm_budget_bytes=1)
+    # end-to-end: the width search (screen + probe + halving) lands on a
+    # width that runs, and the result is exact
+    import artensor_tpu.planner.cost as cost
+    old = cost.HBM_BUDGET_BYTES
+    cost.HBM_BUDGET_BYTES = 1
+    try:
+        seg = run_segmented(staged, steps, axes, k, (len(bits_sorted),),
+                            field, apply_sparse_step, segment_steps=9,
+                            slice_batch=4)
+    finally:
+        cost.HBM_BUDGET_BYTES = old
+    assert np.abs(mono - field.unwrap(seg)).max() < 1e-12
+
+
+def test_segmented_wall_estimate(sparse_scheme):
+    """segmented_wall_estimate: positive, monotone in the dispatch term
+    (more segments -> larger estimate at fixed width), and its device
+    component matches the monolithic per-slice model."""
+    from artensor_tpu.runtime.metrics import segmented_wall_estimate
+
+    _ntn, steps, _axes, _k, _bits, _want = sparse_scheme
+    t64, dev, n64 = segmented_wall_estimate(steps, n_slices=8, width=2,
+                                            segment_steps=64)
+    t4, dev4, n4 = segmented_wall_estimate(steps, n_slices=8, width=2,
+                                           segment_steps=4)
+    assert t64 > 0 and dev > 0 and n4 > n64 >= 1
+    assert dev4 == dev
+    assert t4 > t64            # dispatch term scales with segment count
+
+
 def test_torch_baseline_executor_matches(sparse_scheme):
     """The torch-CPU baseline harness (scripts/torch_baseline.py — the
     reference execution model used for vs_baseline) reproduces the oracle
