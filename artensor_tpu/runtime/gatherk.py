@@ -776,6 +776,168 @@ def plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j):
                  tuple(wpos[l] for l in list(h_order) + list(contract)))
 
 
+RGF_ROW_MIN = 128        # min row elements: the flat row rides the lanes
+                         # unpadded; shorter rows waste the vector unit
+                         # and are cheap for XLA anyway
+RGF_MAT_CAP = 1 << 20    # max elements of the static digit-map matrices
+                         # (VMEM residents, fetched once per program run)
+
+
+@dataclass(frozen=True)
+class RGFlat:
+    """Flat-row reduction plan: aligned per-row contractions whose shape
+    fits NO other kernel form — small scattered contract runs (K below
+    RG_K_MIN) and interleaved free legs, e.g. the 10k batch-junction rows
+    (4, 32, 4) x (32,) -> (4, 4) that the XLA fallback executes as
+    chunked `take` + einsum + concat passes (the single largest copy
+    class of the 10k profile: materialized gather copies anchor W-minor
+    layouts and relayout every kernel boundary around them,
+    docs/BENCH_NOTES.md round 5; reference executor being replaced:
+    /root/reference/artensor/contraction.py:140-175).
+
+    The row is DMA'd RAW — view (xrow,), minor dim = the whole stored
+    row, no canonical pre-reorder pass over HBM and no sublane padding —
+    and the digit bookkeeping happens IN the kernel without any VMEM
+    reshape (Mosaic rejects high-rank shape casts on the chip:
+    "infer-vector-layout: unsupported shape cast").  Two static 0/1
+    matrices carry the digit maps: ``e_mat`` (K, xrow) expands the
+    (Bj, H, K)-prepared W row onto the stored address space
+    (wexp = w_h @ E), and ``m_mat`` (xrow, F) sums the elementwise
+    product back out (y_h = (x * wexp) @ M).  Both dots are tiny MXU
+    ops on flat operands.  Compute is negligible for these shapes; the
+    kernel exists to make the TRAFFIC minimal (one run-elided pass over
+    the gathered rows) and to remove the XLA gather ops whose W-minor
+    layout preference taxes neighbouring steps."""
+
+    view_x: tuple        # (xrow,) — the flat stored row
+    row_dims: tuple      # stored row dims (documentation / debugging)
+    e_mat: object        # (K, xrow) f32 0/1: k -> stored addresses
+    m_mat: object        # (xrow, F) f32 0/1: stored address -> free cell
+    H: int
+    K: int
+    F: int
+    wk_idx: object       # (H, K) int32 — same contract-digit convention
+    hy_first: bool       # H==1 or the fresh block leads the flat output
+    dims_y: tuple
+    w_is_j: bool
+    flops: int
+    est_s: float
+    w_dims: tuple = None   # wk lowering as a digit transpose (see GKPlan)
+    w_perm: tuple = None
+    px = None            # no producer negotiation target (no pre pass)
+    pre_perm = None
+
+    @property
+    def pre(self):       # uniform interface with GKPlan (no pre reorder)
+        return None
+
+
+def plan_rg_flat(rx_i, rx_j, riy, rdims_i, rdims_j):
+    """RGFlat for a degenerate aligned row, or None (sets LAST_REJECT)."""
+    big_is_i = _prod(rdims_i) >= _prod(rdims_j)
+    if big_is_i:
+        w_is_j, ix_x, dims_x, ix_w, dims_w = True, rx_i, rdims_i, rx_j, rdims_j
+    else:
+        w_is_j, ix_x, dims_x, ix_w, dims_w = False, rx_j, rdims_j, rx_i, rdims_i
+    riy = tuple(riy)
+    set_x, set_w, set_y = set(ix_x), set(ix_w), set(riy)
+    if len(set_x) != len(ix_x) or len(set_y) != len(riy):
+        return _rej("rgf:dup")
+    if set_x & set_w & set_y:
+        return _rej("rgf:shared-batch")
+    dim_of = {l: int(d) for l, d in zip(ix_x, dims_x)}
+    for l, d in zip(ix_w, dims_w):
+        dim_of[l] = int(d)
+    contract = [l for l in ix_x if l in set_w and l not in set_y]
+    fresh = [l for l in ix_w if l in set_y]
+    frees = [l for l in ix_x if l in set_y]
+    if set_w != set(contract) | set(fresh) \
+            or len(fresh) + len(contract) != len(ix_w):
+        return _rej("rgf:w-legs")
+    if set_y != set(frees) | set(fresh):
+        return _rej("rgf:y-legs")
+    if not contract:
+        return _rej("rgf:no-contract")
+    xrow = _prod(dims_x)
+    if xrow < RGF_ROW_MIN:
+        return _rej("rgf:row-small")
+    if xrow > RG_ROW_CAP:
+        return _rej("rgf:row-big")
+    K = _prod(dim_of[l] for l in contract)
+    H = _prod(dim_of[l] for l in fresh)
+    F = _prod(dim_of[l] for l in frees)
+    if H > RG_H_CAP:
+        return _rej("rgf:h-cap")
+    if K * H > HK_CAP:
+        return _rej("rgf:hk-cap")
+    # the flat output row is stored in x free-digit order: riy's frees
+    # must match the stored order, and the fresh block (digit order free
+    # via the wk gather) must be contiguous and LEADING (its store is a
+    # static flat slice per h)
+    fset = set(fresh)
+    fresh_y = [l for l in riy if l in fset]
+    frees_y = [l for l in riy if l not in fset]
+    if frees_y != frees:
+        return _rej("rgf:f-order")
+    if fresh_y and riy[:len(fresh_y)] != tuple(fresh_y):
+        return _rej("rgf:h-lead")
+    # wk gather: identical digit convention to plan_rg_row
+    w_strides = {}
+    s = 1
+    for l in reversed(ix_w):
+        w_strides[l] = s
+        s *= dim_of[l]
+
+    def _digits(idx, dims):
+        out, rem = [], idx
+        for d in reversed(dims):
+            out.append(rem % d)
+            rem = rem // d
+        out.reverse()
+        return out
+
+    hi = np.arange(H, dtype=np.int64)
+    h_vals = dict(zip(fresh_y, _digits(hi, [dim_of[l] for l in fresh_y]))) \
+        if fresh_y else {}
+    ki = np.arange(K, dtype=np.int64)
+    k_vals = dict(zip(contract, _digits(ki, [dim_of[l] for l in contract])))
+    idx = np.zeros((H, K), dtype=np.int64)
+    for l in fresh_y:
+        idx += h_vals[l][:, None] * w_strides[l]
+    for l in contract:
+        idx += k_vals[l][None, :] * w_strides[l]
+    # static digit-map matrices: stored address -> (k, f) coordinates
+    if K * xrow > RGF_MAT_CAP or xrow * max(F, 1) > RGF_MAT_CAP:
+        return _rej("rgf:mat-cap")
+    addr = np.arange(xrow, dtype=np.int64)
+    digs = _digits(addr, list(dims_x))
+    dig_of = dict(zip(ix_x, digs))
+    k_stride = {}
+    s = 1
+    for l in reversed(contract):
+        k_stride[l] = s
+        s *= dim_of[l]
+    f_stride = {}
+    s = 1
+    for l in reversed(frees):
+        f_stride[l] = s
+        s *= dim_of[l]
+    k_of = sum((dig_of[l] * k_stride[l] for l in contract),
+               np.zeros(xrow, dtype=np.int64))
+    f_of = sum((dig_of[l] * f_stride[l] for l in frees),
+               np.zeros(xrow, dtype=np.int64))
+    e_mat = (np.arange(K)[:, None] == k_of[None, :]).astype(np.float32)
+    m_mat = (f_of[:, None] == np.arange(max(F, 1))[None, :]) \
+        .astype(np.float32)
+    flops = 4 * 2 * H * xrow
+    est_s = flops / VPU_FLOPS_PER_S
+    dims_y = tuple(dim_of[l] for l in riy)
+    wpos = {l: k for k, l in enumerate(ix_w)}
+    return RGFlat((xrow,), tuple(int(d) for d in dims_x), e_mat, m_mat,
+                  H, K, F, idx.astype(np.int32), True, dims_y, w_is_j,
+                  flops, est_s,
+                  tuple(dim_of[l] for l in ix_w),
+                  tuple(wpos[l] for l in list(fresh_y) + list(contract)))
 
 
 def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
@@ -798,10 +960,14 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
         note = LAST_REJECT
         row = plan_rg_row(rx_i, rx_j, riy, rdims_i, rdims_j)
         if row is None:
+            note = f"{note}/{LAST_REJECT}"
+            row = plan_rg_flat(rx_i, rx_j, riy, rdims_i, rdims_j)
+        if row is None:
             return _rej(f"ggk:row-{note}/{LAST_REJECT}")
     yrow = _prod(row.dims_y)
-    n_row_grid = B if isinstance(row, RGRow) else B * max(1, _prod(
-        row.view_x[k] for k, a in enumerate(row.x_axes) if a[0] == "g"))
+    n_row_grid = B if isinstance(row, (RGRow, RGFlat)) else B * max(
+        1, _prod(row.view_x[k] for k, a in enumerate(row.x_axes)
+                 if a[0] == "g"))
     if n_row_grid > GRID_CAP * 4:
         return _rej("ggk:grid-cap")
     unit = 4.0 * 2
@@ -822,7 +988,7 @@ def plan_ggk_step(rx_i, rx_j, riy, rdims_i, rdims_j, gi, gj,
     gw_ = np.asarray(gj if big_is_i else gi)
     runs_x = 1 + int((gx_[1:] != gx_[:-1]).sum()) if B > 1 else B
     runs_w = 1 + int((gw_[1:] != gw_[:-1]).sum()) if B > 1 else B
-    if isinstance(row, RGRow):
+    if isinstance(row, (RGRow, RGFlat)):
         n_inner = 1
     else:
         bf_ = row.block // row.fm
@@ -1002,7 +1168,10 @@ def _rg_wshape(row):
     """W's per-h storage view: K minor, a size-1 broadcast axis over the
     frees — prepared OUTSIDE the kernel (a free XLA reshape of the
     (Bj, H, K) buffer), so the kernel broadcast-multiplies with NO
-    in-VMEM relayout."""
+    in-VMEM relayout.  RGFlat keeps (K,): its broadcast reshape happens
+    on the VMEM block against the stored row dims."""
+    if isinstance(row, RGFlat):
+        return (row.K,)
     return (1, row.K) if len(row.view_x) == 2 else (row.K,)
 
 
@@ -1060,7 +1229,11 @@ def _rg_specs(plan, width, n_chunks=1, w_batched=True):
 
 def _rg_view_y(row):
     """Physical output-row view: fresh block (H) leading or trailing the
-    free block, matching ``row.dims_y``'s order."""
+    free block, matching ``row.dims_y``'s order.  RGFlat stores the row
+    flat (h-major, static slice per h)."""
+    if isinstance(row, RGFlat):
+        y = _prod(row.dims_y)
+        return (y,) if y else (1,)
     F = row.view_x[0] if len(row.view_x) == 2 else 0
     if row.H == 1:
         return (F,) if F else (1,)
@@ -1111,6 +1284,47 @@ def _rg_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
             oi_ref[idx] = im
 
 
+def _rgflat_kernel(gi_ref, gj_ref, xr_ref, xi_ref, wr_ref, wi_ref,
+                   e_ref, m_ref, or_ref, oi_ref, *, plan, width,
+                   precision=None, w_batched=True):
+    """Flat-row reduction with NO VMEM reshapes beyond unit-dim collapse
+    (Mosaic rejects high-rank shape casts on the chip): the digit maps
+    live in two static 0/1 matrices — wexp = w_h @ E places W's values
+    at their stored addresses, y_h = (x * wexp) @ M sums each free cell.
+    Both dots are tiny MXU ops on flat 2-D operands."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    row = plan.row
+    W = max(width, 1)
+    Ww = W if w_batched else 1
+    xrow = row.view_x[0]
+    F = max(row.F, 1)
+    xr = xr_ref[...].reshape(W, xrow)
+    xi = xi_ref[...].reshape(W, xrow)
+    wr = wr_ref[...].reshape(Ww, row.H, row.K)
+    wi = wi_ref[...].reshape(Ww, row.H, row.K)
+    E = e_ref[...]
+    M = m_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    dot = lambda a, b: lax.dot_general(
+        a, b, dn, precision=precision, preferred_element_type=jnp.float32)
+    for h in range(row.H):
+        wexr = dot(wr[:, h, :], E)       # (Ww, xrow)
+        wexi = dot(wi[:, h, :], E)
+        pr = xr * wexr - xi * wexi       # broadcasts when Ww == 1
+        pi = xr * wexi + xi * wexr
+        yr = dot(pr, M)                  # (W, F)
+        yi = dot(pi, M)
+        sl = slice(h * F, (h + 1) * F)
+        if width:
+            or_ref[(slice(None), 0, 0, sl)] = yr
+            oi_ref[(slice(None), 0, 0, sl)] = yi
+        else:
+            or_ref[(0, 0, sl)] = yr.reshape(F)
+            oi_ref[(0, 0, sl)] = yi.reshape(F)
+
+
 def _ggk_call(plan, interpret, width, precision,
               xr, xi, wr, wi, wc=None, w_batched=True):
     """One pallas_call; operands (width?, Bi, *view_x) / (width?, Bj, H, K).
@@ -1127,10 +1341,19 @@ def _ggk_call(plan, interpret, width, precision,
     row = plan.row
     wc = width if wc is None else wc
     n_chunks = (width // wc) if width and wc else 1
-    if isinstance(row, RGRow):
+    extra_arrays = ()
+    extra_specs = []
+    if isinstance(row, (RGRow, RGFlat)):
         grid, xspec, wspec, yspec = _rg_specs(plan, wc, n_chunks, w_batched)
         view_y = _rg_pad(_rg_view_y(row))
-        kern = _rg_kernel
+        if isinstance(row, RGFlat):
+            kern = _rgflat_kernel
+            mk0 = lambda shape: pl.BlockSpec(
+                shape, lambda *a: (0, 0), memory_space=pltpu.VMEM)
+            extra_specs = [mk0(row.e_mat.shape), mk0(row.m_mat.shape)]
+            extra_arrays = (jnp.asarray(row.e_mat), jnp.asarray(row.m_mat))
+        else:
+            kern = _rg_kernel
     else:
         grid, xspec, wspec, yspec = _ggk_specs(plan, wc, n_chunks, w_batched)
         view_y = row.view_y
@@ -1144,7 +1367,7 @@ def _ggk_call(plan, interpret, width, precision,
         + (w_ if w_batched else 1) * row.K * row.H)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=grid,
-        in_specs=[xspec, xspec, wspec, wspec],
+        in_specs=[xspec, xspec, wspec, wspec, *extra_specs],
         out_specs=(yspec, yspec))
     return pl.pallas_call(
         partial(kern, plan=plan, width=wc, precision=precision,
@@ -1157,7 +1380,8 @@ def _ggk_call(plan, interpret, width, precision,
             flops=plan.flops * w_, bytes_accessed=traffic,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(plan.gi), jnp.asarray(plan.gj), xr, xi, wr, wi)
+    )(jnp.asarray(plan.gi), jnp.asarray(plan.gj), xr, xi, wr, wi,
+      *extra_arrays)
 
 
 def ggk_window_bytes(plan, width, w_batched=True):
@@ -1169,12 +1393,15 @@ def ggk_window_bytes(plan, width, w_batched=True):
     row = plan.row
     w_ = max(width, 1)
     ww = w_ if w_batched else 1
-    if isinstance(row, RGRow):
-        return 4 * 2 * 2 * (_padded_elems([w_, 1, *_rg_pad(row.view_x)])
-                            + _padded_elems([ww, 1, row.H,
-                                             *_rg_wshape(row)])
-                            + _padded_elems([w_, 1,
-                                             *_rg_pad(_rg_view_y(row))]))
+    if isinstance(row, (RGRow, RGFlat)):
+        mats = 0
+        if isinstance(row, RGFlat):     # E/M residents, single-buffered
+            mats = 4 * (_padded_elems(list(row.e_mat.shape))
+                        + _padded_elems(list(row.m_mat.shape))) // 2
+        return mats + 4 * 2 * 2 * (
+            _padded_elems([w_, 1, *_rg_pad(row.view_x)])
+            + _padded_elems([ww, 1, row.H, *_rg_wshape(row)])
+            + _padded_elems([w_, 1, *_rg_pad(_rg_view_y(row))]))
     bf = row.block // row.fm
     xw = [w_, 1]
     for k, (kind, gid) in enumerate(row.x_axes):
@@ -1235,7 +1462,8 @@ def apply_ggk_step(field, x, y, plan, interpret=None):
     # so the kernel's broadcast-multiply needs no in-VMEM relayout
     w_view = (row.H,) + _rg_wshape(row) if isinstance(row, RGRow) \
         else (row.H, row.K)
-    x_view = _rg_pad(row.view_x) if isinstance(row, RGRow) else row.view_x
+    x_view = _rg_pad(row.view_x) if isinstance(row, (RGRow, RGFlat)) \
+        else row.view_x
 
     def _wk(w, lead=()):
         rows = (plan.bj_rows,)

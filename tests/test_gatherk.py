@@ -476,7 +476,9 @@ def test_headline_scheme_kernel_steps_oracle():
     checked = 0
     for s in steps:
         ln = s.lane
-        if ln is None:
+        # gathered (aligned) steps carry chunked lowering and are
+        # oracle-checked by the _ggk_oracle cases below
+        if ln is None or getattr(s, "gathers", None) is not None:
             continue
         sig = (type(ln).__name__, getattr(ln, "K", None),
                getattr(ln, "H", None), getattr(ln, "fm", None),
@@ -760,3 +762,81 @@ def test_ggk_reduction_no_frees_and_mosaic_blocks():
                 (16, 16), (16, 16, 4), B=24, bi=5, bj=4, seed=9)
     _ggk_oracle(("k0", "k1"), ("k1", "k0", "h"), ("h",),
                 (16, 16), (16, 16, 4), B=24, bi=5, bj=4, width=4, seed=10)
+
+
+# -- flat-row reduction (RGFlat: the 10k batch-junction class) --------------
+
+def test_ggk_flat_row_basic():
+    """RGFlat: small scattered contract (K=32 < RG_K_MIN), interleaved
+    frees, raw flat-row DMA with in-VMEM digit bookkeeping — the shape
+    class the 10k scheme's aligned merges have (step-169 anatomy:
+    rows (4, 32, 4) x (32,) -> (4, 4))."""
+    from artensor_tpu.runtime.gatherk import RGFlat
+
+    plan = _ggk_oracle(
+        ("f0", "f1", "k0", "k1", "k2", "k3", "k4", "f2", "f3"),
+        ("k0", "k1", "k2", "k3", "k4"),
+        ("f0", "f1", "f2", "f3"),
+        (2,) * 9, (2,) * 5, B=23, bi=6, bj=5)
+    assert isinstance(plan.row, RGFlat), type(plan.row).__name__
+    assert plan.row.K == 32 and plan.row.F == 16 and plan.row.H == 1
+
+
+def test_ggk_flat_row_fresh_legs():
+    """RGFlat with fresh W legs (H > 1, leading in riy) and a W digit
+    order that differs from X's contract order (wk digit transpose)."""
+    from artensor_tpu.runtime.gatherk import RGFlat
+
+    plan = _ggk_oracle(
+        ("f0", "k0", "k1", "k2", "k3", "k4", "f1", "f2"),
+        ("k2", "k0", "k4", "k1", "k3", "h0", "h1"),
+        ("h0", "h1", "f0", "f1", "f2"),
+        (2,) * 8, (2,) * 7, B=19, bi=5, bj=4, seed=3)
+    assert isinstance(plan.row, RGFlat)
+    assert plan.row.H == 4
+
+
+def test_ggk_flat_row_widths():
+    """RGFlat under the slice vmap: width folded into the block DMA,
+    plus the slice-invariant-W fast path."""
+    from artensor_tpu.runtime.gatherk import RGFlat
+
+    for width in (2, 4):
+        plan = _ggk_oracle(
+            ("f0", "f1", "k0", "k1", "k2", "k3", "k4", "f2", "f3"),
+            ("k0", "k1", "k2", "k3", "k4"),
+            ("f0", "f1", "f2", "f3"),
+            (2,) * 9, (2,) * 5, B=12, bi=5, bj=4,
+            width=width, seed=20 + width)
+        assert isinstance(plan.row, RGFlat)
+    plan = _ggk_oracle(
+        ("f0", "f1", "k0", "k1", "k2", "k3", "k4", "f2", "f3"),
+        ("k0", "k1", "k2", "k3", "k4"),
+        ("f0", "f1", "f2", "f3"),
+        (2,) * 9, (2,) * 5, B=12, bi=5, bj=4,
+        width=4, seed=30, w_unbatched=True)
+    assert isinstance(plan.row, RGFlat)
+
+
+def test_ggk_flat_row_rejections():
+    """RGFlat gates: short rows, out-of-order frees, trailing fresh."""
+    from artensor_tpu.runtime import gatherk as gkm
+
+    # short row (xrow 16 < RGF_ROW_MIN): the 10k step-179 shape stays XLA
+    assert gkm.plan_rg_flat(("f0", "k0", "k1", "f1"), ("k0", "k1"),
+                            ("f0", "f1"), (2, 2, 2, 2), (2, 2)) is None
+    assert "row-small" in str(gkm.LAST_REJECT)
+    # frees out of stored order (flat store would need a transpose)
+    assert gkm.plan_rg_flat(
+        ("f0", "f1", "k0", "k1", "k2", "k3", "k4", "f2", "f3"),
+        ("k0", "k1", "k2", "k3", "k4"),
+        ("f2", "f3", "f0", "f1"),
+        (2,) * 9, (2,) * 5) is None
+    assert "f-order" in str(gkm.LAST_REJECT)
+    # fresh block not leading in riy (per-h store is a flat slice)
+    assert gkm.plan_rg_flat(
+        ("f0", "f1", "k0", "k1", "k2", "k3", "k4", "f2", "f3"),
+        ("k0", "k1", "k2", "k3", "k4", "h"),
+        ("f0", "f1", "f2", "f3", "h"),
+        (2,) * 9, (2,) * 6) is None
+    assert "h-lead" in str(gkm.LAST_REJECT)
