@@ -35,12 +35,16 @@ def main():
     from artensor_tpu.runtime import metrics as mt
     from artensor_tpu.runtime.sparse import contraction_scheme_sparse
 
+    n_bits = int(os.environ.get("N_BITS", "1000"))
     if which == "n30":
         gt = [l.split()[0] for l in open(REF_AMPS) if len(l.split()) == 3]
-        bits = gt[:1000]
+        bits = gt[:n_bits]
         n, layers = load_cirq_circuit(REF_N30)
         circ = TensorNetworkCircuit((n, layers))
         sc_targets = (21, 22, 23, 24, 25, 26)
+        if os.environ.get("SC_TARGETS"):
+            sc_targets = tuple(
+                int(s) for s in os.environ["SC_TARGETS"].split(","))
     else:
         # bundled pod-scale qsim circuits (n53 m20 / n56 m20 / n60 m24)
         paths = {
@@ -61,7 +65,7 @@ def main():
         for seed in range(n_seeds):
             t0 = time.time()
             order, sliced, ctree = find_order(
-                tb2, ntn.bond_dims, final_qubits=fq2, max_bitstrings=1000,
+                tb2, ntn.bond_dims, final_qubits=fq2, max_bitstrings=len(bits),
                 sc_target=sc, trials=8, iters=iters,
                 betas=list(np.linspace(3.0, 21.0, 61)),
                 start_seed=1000 * seed + 1, alpha=0.0, parallel=False)
