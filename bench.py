@@ -53,6 +53,7 @@ TORCH_BASELINES_S = {
     "n30m14_sparse1k_wall_s": 125.5,     # 0.49 s/slice x 256 (sc22_r2)
     "n30m14_sparse10k_wall_s": 277.7,    # 1.08 s/slice x 256 (sc22)
     "dense2e30_s_per_block": 5.51,       # same blocks64 plan, per block
+    "n53m20_sc24_s_per_slice": 35.43,    # per slice, same sc24 plan (r5)
 }
 # conservative fallback when a config has no direct measurement yet:
 # the round-1 sc24-plan figure, scaled per-slice (see BENCH_NOTES)
@@ -311,22 +312,37 @@ def bench_n53(n_slices=8, width=2):
     steps, host_arrays = precompute_static_steps(
         steps, [ntn.tensors[i] for i in range(len(ntn.tensors))], axes)
     staged = jax.device_put(stage_tensors(field, host_arrays))
-    marks = [(0, time.time())]
-    progress = lambda done, total: marks.append((done, time.time()))
-    acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
-                        apply_sparse_step, segment_steps=64,
-                        slice_batch=width, slice_ids=range(n_slices),
-                        progress=progress)
-    amps = np.asarray(acc[0]) + 1j * np.asarray(acc[1])  # forces the queue
-    t_end = time.time()
+
+    def one_pass():
+        """One forced pass; rate excludes the first batch (segment
+        compiles on pass 1, per-call re-trace on repeats — every
+        run_segmented call rebuilds its jitted closures)."""
+        marks = [(0, time.time())]
+        progress = lambda done, total: marks.append((done, time.time()))
+        acc = run_segmented(staged, steps, axes, k, (len(bs),), field,
+                            apply_sparse_step, segment_steps=64,
+                            slice_batch=width, slice_ids=range(n_slices),
+                            progress=progress)
+        a = np.asarray(acc[0]) + 1j * np.asarray(acc[1])  # forces the queue
+        t_end = time.time()
+        first_done, first_t = marks[1]
+        n_after = marks[-1][0] - first_done
+        return (t_end - first_t) / max(1, n_after), marks, a
+
+    rate0, marks, amps = one_pass()
     metric = "n53m20_sc24_s_per_slice"
     if not np.isfinite(amps).all() or not np.abs(amps).sum() > 0:
         print(json.dumps({"metric": metric, "value": -1.0, "unit": "s",
                           "vs_baseline": 0.0, "error": "non-finite output"}))
         sys.exit(1)
-    first_done, first_t = marks[1]
-    n_after = marks[-1][0] - first_done
-    per_slice = (t_end - first_t) / max(1, n_after)
+    # two repeats, so a transient tunnel stall in any one pass is
+    # outvoted by the median — same repeat policy as bench_sparse.  Each
+    # rate is the honest forced statistic (wall from the first batch's
+    # dispatch to the forced readback, over the remaining slices); the
+    # enqueue-time progress marks are never used as completion times
+    # (docs/BENCH_NOTES.md round 4, "the n53 dispatch illusion").
+    rates = [rate0] + [one_pass()[0] for _ in range(2)]
+    per_slice = float(np.median(rates))
     base = TORCH_BASELINES_S.get(metric)
     rec = {"metric": metric, "value": round(per_slice, 3), "unit": "s",
            "vs_baseline": round(base / per_slice, 2) if base else 0.0}
@@ -336,9 +352,9 @@ def bench_n53(n_slices=8, width=2):
     est, dev_ps, n_seg = segmented_wall_estimate(
         steps, n_slices=n_slices, width=width)
     roof = scheme_roofline_seconds(steps)
-    print(f"# first {first_done}-slice batch (incl. segment compiles) "
-          f"{first_t - marks[0][1]:.0f}s; forced end-to-end over the "
-          f"remaining {n_after} slices", file=sys.stderr)
+    print(f"# first {marks[1][0]}-slice batch (incl. segment compiles) "
+          f"{marks[1][1] - marks[0][1]:.0f}s; forced end-to-end rates "
+          f"{[round(r, 2) for r in rates]} s/slice (median)", file=sys.stderr)
     print(f"# est {est / n_slices:.3f} s/slice (device {dev_ps:.3f} + "
           f"dispatch over {n_seg} segments); roofline {roof:.3f} s/slice "
           f"-> {100 * roof / per_slice:.0f}% achieved", file=sys.stderr)
